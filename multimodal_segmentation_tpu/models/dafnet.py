@@ -1,0 +1,556 @@
+"""DAFNet: dual anatomy encoders (shared decoder), TPS-STN fusion, FiLM/SPADE
+decoder, mask + per-modality image discriminators, in-graph Z-regressor, and
+the automated-pairing path with the Balancer.
+
+Reference: models/dafnet.py. The reference's supervised/unsupervised
+composite trainer models (get_params_expert_pairing, :163-222;
+get_params_automated_pairing, :248-334) become the pure loss functions
+below, differentiated w.r.t. the generator parameter group only — the
+discriminators are separate parameter groups updated by their own loss
+functions (replacing make_trainable flag-flipping, utils/sdnet_utils.py:40-53).
+"""
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_segmentation_tpu import losses
+from multimodal_segmentation_tpu.models.base import ComponentSet
+from multimodal_segmentation_tpu.nn import (
+    AnatomyFuser,
+    Balancer,
+    Decoder,
+    Discriminator,
+    DualAnatomyEncoder,
+    ModalityEncoder,
+    Segmentor,
+)
+
+
+class DAFNet:
+    """Component container + loss functions for DAFNet training."""
+
+    GEN_COMPONENTS = (
+        "enc_anatomy",
+        "fuser",
+        "enc_modality",
+        "segmentor",
+        "decoder",
+        "balancer",
+    )
+    DISC_COMPONENTS = ("d_mask", "d_image1", "d_image2")
+
+    def __init__(self, conf):
+        self.conf = conf
+        ae = conf.anatomy_encoder
+        c = ComponentSet()
+        c.add(
+            "enc_anatomy",
+            DualAnatomyEncoder(
+                filters=ae.filters,
+                downsample=ae.downsample,
+                norm=ae.normalise,
+                out_channels=ae.out_channels,
+                rounding=ae.rounding,
+            ),
+        )
+        c.add("fuser", AnatomyFuser())
+        c.add("enc_modality", ModalityEncoder(conf.num_z))
+        c.add("segmentor", Segmentor(conf.num_masks))
+        c.add("decoder", Decoder(conf.decoder_type, conf.input_hw))
+        c.add("balancer", Balancer(conf.n_pairs))
+        c.add(
+            "d_mask",
+            Discriminator(
+                conf.d_mask_params.filters, conf.d_mask_params.downsample_blocks
+            ),
+        )
+        c.add(
+            "d_image1",
+            Discriminator(
+                conf.d_image_params.filters, conf.d_image_params.downsample_blocks
+            ),
+        )
+        c.add(
+            "d_image2",
+            Discriminator(
+                conf.d_image_params.filters, conf.d_image_params.downsample_blocks
+            ),
+        )
+        self.components = c
+        self.modalities = list(conf.modality)
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, rng):
+        conf = self.conf
+        H, W = conf.input_hw
+        C = conf.input_shape[-1]
+        sc = conf.anatomy_encoder.out_channels
+        x = jnp.zeros((1, H, W, C))
+        s = jnp.zeros((1, H, W, sc))
+        m = jnp.zeros((1, H, W, conf.num_masks))
+
+        keys = jax.random.split(rng, 16)
+        params: Dict = {}
+        state: Dict = {"batch_stats": {}, "spectral": {}}
+
+        def setup(i, name, *args, rngs_extra=(), **kw):
+            p, st = self.components.init_component(
+                name, keys[i], *args, rngs_extra=rngs_extra, **kw
+            )
+            params[name] = p
+            for col, tree in st.items():
+                state.setdefault(col, {})[name] = tree
+
+        setup(0, "enc_anatomy", x, x)
+        setup(1, "fuser", s, s)
+        setup(2, "enc_modality", s, x, rngs_extra=("sample",))
+        setup(3, "segmentor", s)
+        setup(4, "decoder", s, jnp.zeros((1, conf.num_z)))
+        setup(5, "balancer", s, [s for _ in range(conf.n_pairs)])
+        setup(6, "d_mask", m)
+        setup(7, "d_image1", x)
+        setup(8, "d_image2", x)
+
+        state = {k: v for k, v in state.items() if v}
+        return params, state
+
+    # ------------------------------------------------------------- forwards
+
+    def encode_anatomies(self, params, state, x1, x2, train=False, update=False):
+        (s1, s2), new_st, _ = self.components.apply(
+            "enc_anatomy", params, state, x1, x2, train=train, update_state=update
+        )
+        state = self.components.merge_state(state, "enc_anatomy", new_st)
+        return s1, s2, state
+
+    def segment(self, params, state, s, train=False, update=False):
+        m, new_st, _ = self.components.apply(
+            "segmentor", params, state, s, train=train, update_state=update
+        )
+        state = self.components.merge_state(state, "segmentor", new_st)
+        return m, state
+
+    def fuse(self, params, state, sa, sb, train=False):
+        (s_def, s_fused), _, _ = self.components.apply(
+            "fuser", params, state, sa, sb, train=train
+        )
+        return s_def, s_fused
+
+    def encode_modality(self, params, state, s, x, rng, train=False, sample=True):
+        (z, mu, logvar, kl), _, _ = self.components.apply(
+            "enc_modality",
+            params,
+            state,
+            s,
+            x,
+            train=train,
+            rngs={"sample": rng} if sample else None,
+            sample=sample,
+        )
+        return z, mu, logvar, kl
+
+    def decode(self, params, state, s, z, train=False):
+        y, _, _ = self.components.apply("decoder", params, state, s, z, train=train)
+        return y
+
+    def discriminate(self, params, state, name, x, collect_spectral=False):
+        out, new_st, penalty = self.components.apply(
+            name, params, state, x, collect_spectral=collect_spectral
+        )
+        if collect_spectral:
+            state = self.components.merge_state(state, name, new_st)
+            return out, penalty, state
+        return out
+
+    # ----------------------------------------------------- expert-pair loss
+
+    def gen_loss_expert(self, gen_params, disc_params, state, batch, rng, supervised):
+        """Generator loss for expert pairing (models/dafnet.py:163-222 wiring;
+        targets from model_executors/dafnet_executor.py:389-434).
+
+        batch: x1, x2 (B,H,W,C); m1, m2 (B,H,W,num_masks+1) with residual
+        (only when supervised); z1, z2 (B,num_z) sampled N(0,1).
+        Returns (total, (metrics, new_state)).
+        """
+        conf = self.conf
+        params = {**gen_params, **disc_params}
+        x1, x2 = batch["x1"], batch["x2"]
+        z1_in, z2_in = batch["z1"], batch["z2"]
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        nm = conf.num_masks
+
+        s1, s2, state = self.encode_anatomies(params, state, x1, x2, True, True)
+        z1, _, _, kl1 = self.encode_modality(params, state, s1, x1, r1, True)
+        z2, _, _, kl2 = self.encode_modality(params, state, s2, x2, r2, True)
+
+        m1, state = self.segment(params, state, s1, True, True)
+        m2, state = self.segment(params, state, s2, True, True)
+        y1 = self.decode(params, state, s1, z1, True)
+        y2 = self.decode(params, state, s2, z2, True)
+
+        adv_m1 = self.discriminate(params, state, "d_mask", m1[..., :nm])
+        adv_m2 = self.discriminate(params, state, "d_mask", m2[..., :nm])
+        adv_y1 = self.discriminate(params, state, "d_image1", y1)
+        adv_y2 = self.discriminate(params, state, "d_image2", y2)
+
+        s1_def, _ = self.fuse(params, state, s1, s2, True)
+        s2_def, _ = self.fuse(params, state, s2, s1, True)
+
+        m2_s1_def, state = self.segment(params, state, s1_def, True, True)
+        m1_s2_def, state = self.segment(params, state, s2_def, True, True)
+        y2_s1_def = self.decode(params, state, s1_def, z2, True)
+        y1_s2_def = self.decode(params, state, s2_def, z1, True)
+
+        adv_m2_def = self.discriminate(params, state, "d_mask", m2_s1_def[..., :nm])
+        adv_m1_def = self.discriminate(params, state, "d_mask", m1_s2_def[..., :nm])
+        adv_y2_def = self.discriminate(params, state, "d_image2", y2_s1_def)
+        adv_y1_def = self.discriminate(params, state, "d_image1", y1_s2_def)
+
+        # Z-regressor branch (models/dafnet.py:336-350, wired at :210-213):
+        # decode from a *sampled* z, re-encode, regress the sample back.
+        y1_zin = self.decode(params, state, s1, z1_in, True)
+        y2_zin = self.decode(params, state, s2, z2_in, True)
+        _, z1_rec, _, _ = self.encode_modality(
+            params, state, s1, y1_zin, r3, True, sample=False
+        )
+        _, z2_rec, _, _ = self.encode_modality(
+            params, state, s2, y2_zin, r4, True, sample=False
+        )
+
+        # ---- losses (dafnet.py:145-161 loss/weight dicts) ----
+        m1_t = batch.get("m1")
+        if supervised:
+            m2_t = batch["m2"]
+            seg = (
+                losses.combined_dice_bce(m1_t, m1, nm)
+                + losses.combined_dice_bce(m2_t, m2, nm)
+                + losses.combined_dice_bce(m1_t, m1_s2_def, nm)
+                + losses.combined_dice_bce(m2_t, m2_s1_def, nm)
+            )
+        else:
+            seg = losses.combined_dice_bce(m1_t, m1, nm) + losses.combined_dice_bce(
+                m1_t, m1_s2_def, nm
+            )
+
+        adv_m = sum(losses.lsgan_fool(a) for a in (adv_m1, adv_m2, adv_m1_def, adv_m2_def))
+        rec = (
+            losses.mae(x1, y1)
+            + losses.mae(x2, y2)
+            + losses.mae(x1, y1_s2_def)
+            + losses.mae(x2, y2_s1_def)
+        )
+        adv_x = sum(losses.lsgan_fool(a) for a in (adv_y1, adv_y2, adv_y1_def, adv_y2_def))
+        kl = losses.ypred_loss(kl1) + losses.ypred_loss(kl2)
+        z_rec = losses.mae(z1_in, z1_rec) + losses.mae(z2_in, z2_rec)
+
+        total = (
+            conf.w_sup_M * seg
+            + conf.w_adv_M * adv_m
+            + conf.w_rec_X * rec
+            + conf.w_adv_X * adv_x
+            + conf.w_kl * kl
+            + conf.w_rec_Z * z_rec
+        )
+        metrics = {
+            "supervised_Mask": seg,
+            "adv_M": adv_m,
+            "rec_X": rec,
+            "adv_X1": losses.lsgan_fool(adv_y1) + losses.lsgan_fool(adv_y1_def),
+            "adv_X2": losses.lsgan_fool(adv_y2) + losses.lsgan_fool(adv_y2_def),
+            "KL": kl,
+            "rec_Z": z_rec,
+            "loss": total,
+        }
+        return total, (metrics, state)
+
+    # -------------------------------------------------- automated-pair loss
+
+    def gen_loss_automated(self, gen_params, disc_params, state, batch, rng, supervised):
+        """Automated-pairing generator loss (models/dafnet.py:224-334).
+
+        batch: x1_pairs, x2_pairs (B,H,W,n_pairs) candidate slices stacked
+        channel-wise (loaders/MultimodalPairedData.py:91-141), m1 [, m2]
+        (B,H,W,num_masks+1), z1, z2.
+
+        NOTE deliberate deviation: the reference's Multiply()([w, loss])
+        with w:(B,1) and loss:(B,) broadcasts to an outer product in TF1
+        (models/dafnet.py:290-312), decoupling the per-sample weights. We
+        implement the per-sample weighting the Balancer architecture
+        specifies: sum_j mean_b(w[b,j] * loss_j[b]).
+        """
+        conf = self.conf
+        params = {**gen_params, **disc_params}
+        nm = conf.num_masks
+        n_pairs = conf.n_pairs
+        split = lambda x: [x[..., i : i + 1] for i in range(n_pairs)]
+        x1_list = split(batch["x1_pairs"])
+        x2_list = split(batch["x2_pairs"])
+        x1, x2 = x1_list[0], x2_list[0]
+        z1_in, z2_in = batch["z1"], batch["z2"]
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+
+        s1_list = []
+        s2_list = []
+        for xa, xb in zip(x1_list, x2_list):
+            sa, sb, state = self.encode_anatomies(params, state, xa, xb, True, True)
+            s1_list.append(sa)
+            s2_list.append(sb)
+        s1, s2 = s1_list[0], s2_list[0]
+
+        z1, _, _, kl1 = self.encode_modality(params, state, s1, x1, r1, True)
+        z2, _, _, kl2 = self.encode_modality(params, state, s2, x2, r2, True)
+
+        m1, state = self.segment(params, state, s1, True, True)
+        m2, state = self.segment(params, state, s2, True, True)
+        y1 = self.decode(params, state, s1, z1, True)
+        y2 = self.decode(params, state, s2, z2, True)
+
+        adv_m1 = self.discriminate(params, state, "d_mask", m1[..., :nm])
+        adv_m2 = self.discriminate(params, state, "d_mask", m2[..., :nm])
+        adv_y1 = self.discriminate(params, state, "d_image1", y1)
+        adv_y2 = self.discriminate(params, state, "d_image2", y2)
+
+        s1_def_list = [self.fuse(params, state, s1_i, s2, True)[0] for s1_i in s1_list]
+        s2_def_list = [self.fuse(params, state, s2_i, s1, True)[0] for s2_i in s2_list]
+
+        (w1, _, _) = self.components.apply(
+            "balancer", params, state, s2, s1_def_list, train=True
+        )
+        (w2, _, _) = self.components.apply(
+            "balancer", params, state, s1, s2_def_list, train=True
+        )
+
+        # DecoderDef: similarity-weighted cross reconstruction (dafnet.py:283-295)
+        y2_def_losses = [
+            losses.mae_perbatch(x2, self.decode(params, state, sd, z2, True))
+            for sd in s1_def_list
+        ]
+        y1_def_losses = [
+            losses.mae_perbatch(x1, self.decode(params, state, sd, z1, True))
+            for sd in s2_def_list
+        ]
+        rec_def = sum(
+            jnp.mean(w1[:, j : j + 1] * y2_def_losses[j]) for j in range(n_pairs)
+        ) + sum(
+            jnp.mean(w2[:, j : j + 1] * y1_def_losses[j]) for j in range(n_pairs)
+        )
+
+        # SegmentorDef: similarity-weighted cross segmentation (dafnet.py:297-312)
+        m1_t = batch["m1"]
+        m1_def_list = []
+        m2_def_list = []
+        for sd in s2_def_list:
+            md, state = self.segment(params, state, sd, True, True)
+            m1_def_list.append(md)
+        for sd in s1_def_list:
+            md, state = self.segment(params, state, sd, True, True)
+            m2_def_list.append(md)
+
+        seg_def = sum(
+            jnp.mean(
+                w2[:, j] * losses.combined_dice_bce_perbatch(m1_t, m1_def_list[j], nm)
+            )
+            for j in range(n_pairs)
+        )
+        if supervised:
+            m2_t = batch["m2"]
+            seg_def = seg_def + sum(
+                jnp.mean(
+                    w1[:, j]
+                    * losses.combined_dice_bce_perbatch(m2_t, m2_def_list[j], nm)
+                )
+                for j in range(n_pairs)
+            )
+
+        adv_m1_def = self.discriminate(params, state, "d_mask", m1_def_list[0][..., :nm])
+        adv_m2_def = self.discriminate(params, state, "d_mask", m2_def_list[0][..., :nm])
+        y2_s1_def0 = self.decode(params, state, s1_def_list[0], z2, True)
+        y1_s2_def0 = self.decode(params, state, s2_def_list[0], z1, True)
+        adv_y2_def = self.discriminate(params, state, "d_image2", y2_s1_def0)
+        adv_y1_def = self.discriminate(params, state, "d_image1", y1_s2_def0)
+
+        # Z-regressor branch
+        y1_zin = self.decode(params, state, s1, z1_in, True)
+        y2_zin = self.decode(params, state, s2, z2_in, True)
+        _, z1_rec, _, _ = self.encode_modality(params, state, s1, y1_zin, r3, True, sample=False)
+        _, z2_rec, _, _ = self.encode_modality(params, state, s2, y2_zin, r4, True, sample=False)
+
+        if supervised:
+            seg = (
+                losses.combined_dice_bce(m1_t, m1, nm)
+                + losses.combined_dice_bce(batch["m2"], m2, nm)
+                + seg_def
+            )
+        else:
+            seg = losses.combined_dice_bce(m1_t, m1, nm) + seg_def
+
+        adv_m = sum(
+            losses.lsgan_fool(a) for a in (adv_m1, adv_m2, adv_m1_def, adv_m2_def)
+        )
+        rec = losses.mae(x1, y1) + losses.mae(x2, y2) + rec_def
+        adv_x = sum(
+            losses.lsgan_fool(a) for a in (adv_y1, adv_y2, adv_y1_def, adv_y2_def)
+        )
+        kl = losses.ypred_loss(kl1) + losses.ypred_loss(kl2)
+        z_rec = losses.mae(z1_in, z1_rec) + losses.mae(z2_in, z2_rec)
+
+        total = (
+            conf.w_sup_M * seg
+            + conf.w_adv_M * adv_m
+            + conf.w_rec_X * rec
+            + conf.w_adv_X * adv_x
+            + conf.w_kl * kl
+            + conf.w_rec_Z * z_rec
+        )
+        metrics = {
+            "supervised_Mask": seg,
+            "adv_M": adv_m,
+            "rec_X": rec,
+            "adv_X1": losses.lsgan_fool(adv_y1) + losses.lsgan_fool(adv_y1_def),
+            "adv_X2": losses.lsgan_fool(adv_y2) + losses.lsgan_fool(adv_y2_def),
+            "KL": kl,
+            "rec_Z": z_rec,
+            "loss": total,
+        }
+        return total, (metrics, state)
+
+    # ------------------------------------------------- discriminator losses
+
+    def make_fake_masks(self, params, state, x1, x2, rng):
+        """Fake-mask pools for the mask discriminator
+        (model_executors/dafnet_executor.py:524-543): per modality the simple
+        and the cross-deformed segmentation, concatenated then subsampled."""
+        nm = self.conf.num_masks
+        s1, s2, _ = self.encode_anatomies(params, state, x1, x2, False, False)
+        m1_hat, _ = self.segment(params, state, s1, False, False)
+        m2_hat, _ = self.segment(params, state, s2, False, False)
+        s2_def, _ = self.fuse(params, state, s2, s1, False)
+        s1_def, _ = self.fuse(params, state, s1, s2, False)
+        m1_from_s2, _ = self.segment(params, state, s2_def, False, False)
+        m2_from_s1, _ = self.segment(params, state, s1_def, False, False)
+
+        B = x1.shape[0]
+        r1, r2 = jax.random.split(rng)
+        pool1 = jnp.concatenate([m1_hat[..., :nm], m1_from_s2[..., :nm]], axis=0)
+        pool2 = jnp.concatenate([m2_hat[..., :nm], m2_from_s1[..., :nm]], axis=0)
+        idx1 = jax.random.choice(r1, pool1.shape[0], (B,), replace=False)
+        idx2 = jax.random.choice(r2, pool2.shape[0], (B,), replace=False)
+        return jnp.take(pool1, idx1, axis=0), jnp.take(pool2, idx2, axis=0)
+
+    def d_mask_loss(self, d_params, gen_params, state, batch, rng):
+        """Mask-discriminator loss: two real/fake LSGAN pairs + spectral
+        penalty (dafnet_executor.py:511-545; penalty from the Keras kernel
+        regularizer on the D convs)."""
+        params = {**gen_params, **d_params}
+        fake_m1, fake_m2 = self.make_fake_masks(
+            params, state, batch["dx1"], batch["dx2"], rng
+        )
+        fake_m1 = jax.lax.stop_gradient(fake_m1)
+        fake_m2 = jax.lax.stop_gradient(fake_m2)
+        nm = self.conf.num_masks
+        m1, m2 = batch["dm1"][..., :nm], batch["dm2"][..., :nm]
+
+        d_real1, penalty, state = self.discriminate(
+            params, state, "d_mask", m1, collect_spectral=True
+        )
+        d_fake1 = self.discriminate(params, state, "d_mask", fake_m1)
+        d_real2 = self.discriminate(params, state, "d_mask", m2)
+        d_fake2 = self.discriminate(params, state, "d_mask", fake_m2)
+
+        loss1 = losses.lsgan_disc(d_real1, d_fake1) + penalty
+        loss2 = losses.lsgan_disc(d_real2, d_fake2) + penalty
+        total = loss1 + loss2
+        return total, ({"dis_M": total / 2.0}, state)
+
+    def d_image_loss(self, d_params, gen_params, state, batch, rng):
+        """Image-discriminator losses for both modalities
+        (dafnet_executor.py:547-583): fake pools from three reconstruction
+        variants each, subsampled to batch size."""
+        params = {**gen_params, **d_params}
+        x1, x2 = batch["dx1"], batch["dx2"]
+        B = x1.shape[0]
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+
+        s1, s2, _ = self.encode_anatomies(params, state, x1, x2, False, False)
+        s1_def, _ = self.fuse(params, state, s1, s2, False)
+        s2_def, _ = self.fuse(params, state, s2, s1, False)
+        z1, _, _, _ = self.encode_modality(params, state, s1, x1, r1, False)
+        z2, _, _, _ = self.encode_modality(params, state, s2, x2, r2, False)
+
+        y1_pool = jnp.concatenate(
+            [
+                self.decode(params, state, s1, z1, False),
+                self.decode(params, state, s2_def, z1, False),
+                self.decode(params, state, s1_def, z1, False),
+            ],
+            axis=0,
+        )
+        y2_pool = jnp.concatenate(
+            [
+                self.decode(params, state, s2, z2, False),
+                self.decode(params, state, s1_def, z2, False),
+                self.decode(params, state, s2_def, z2, False),
+            ],
+            axis=0,
+        )
+        y1 = jax.lax.stop_gradient(
+            jnp.take(
+                y1_pool,
+                jax.random.choice(r3, y1_pool.shape[0], (B,), replace=False),
+                axis=0,
+            )
+        )
+        y2 = jax.lax.stop_gradient(
+            jnp.take(
+                y2_pool,
+                jax.random.choice(r4, y2_pool.shape[0], (B,), replace=False),
+                axis=0,
+            )
+        )
+
+        d1_real, p1, state = self.discriminate(
+            params, state, "d_image1", x1, collect_spectral=True
+        )
+        d1_fake = self.discriminate(params, state, "d_image1", y1)
+        d2_real, p2, state = self.discriminate(
+            params, state, "d_image2", x2, collect_spectral=True
+        )
+        d2_fake = self.discriminate(params, state, "d_image2", y2)
+
+        loss1 = losses.lsgan_disc(d1_real, d1_fake) + p1
+        loss2 = losses.lsgan_disc(d2_real, d2_fake) + p2
+        total = loss1 + loss2
+        return total, ({"dis_X1": loss1, "dis_X2": loss2}, state)
+
+    # ------------------------------------------------------------ inference
+
+    def predict_mask(self, params, state, modality_index, fusion_type, images):
+        """Inference API (models/mmsdnet.py:210-232): segment modality
+        `modality_index` from both-modality images with fusion type
+        'simple' | 'def' | 'max' | 'maxnostn'."""
+        assert fusion_type in ("simple", "def", "max", "maxnostn")
+        idx2 = modality_index
+        idx1 = 1 - idx2
+        x_a, x_b = images[idx1], images[idx2]
+        # encoder 1 is tied to modality 0's private path
+        if idx1 == 0:
+            (s1, s2), _, _ = self.components.apply(
+                "enc_anatomy", params, state, x_a, x_b
+            )
+        else:
+            (s2, s1), _, _ = self.components.apply(
+                "enc_anatomy", params, state, x_b, x_a
+            )
+
+        if fusion_type == "simple":
+            s = s2
+        elif fusion_type == "maxnostn":
+            s = jnp.maximum(s1, s2)
+        else:
+            s_def, s_fused = self.fuse(params, state, s1, s2, False)
+            s = s_def if fusion_type == "def" else s_fused
+        m, _ = self.segment(params, state, s, False, False)
+        return m

@@ -1,0 +1,317 @@
+"""MMSDNet: per-modality private anatomy encoders, mask discriminator only,
+and a separately-trained Z-regressor.
+
+Reference: models/mmsdnet.py. The 18-output supervised/unsupervised trainers
+(:95-192) become `gen_loss`; the separately-fit Z_Regressor (:194-208,
+trained in model_executors/mmsdnet_executor.py:267-276 on detached
+anatomies) becomes `z_regressor_loss` differentiated w.r.t. decoder +
+modality-encoder parameters only.
+"""
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_segmentation_tpu import losses
+from multimodal_segmentation_tpu.models.base import ComponentSet
+from multimodal_segmentation_tpu.nn import (
+    AnatomyEncoder,
+    AnatomyFuser,
+    Decoder,
+    Discriminator,
+    ModalityEncoder,
+    Segmentor,
+)
+
+
+class MMSDNet:
+    GEN_COMPONENTS = (
+        "enc_anatomy1",
+        "enc_anatomy2",
+        "fuser",
+        "enc_modality",
+        "segmentor",
+        "decoder",
+    )
+    DISC_COMPONENTS = ("d_mask",)
+    ZREG_COMPONENTS = ("decoder", "enc_modality")
+
+    def __init__(self, conf):
+        self.conf = conf
+        ae = conf.anatomy_encoder
+        c = ComponentSet()
+        for name in ("enc_anatomy1", "enc_anatomy2"):
+            c.add(
+                name,
+                AnatomyEncoder(
+                    filters=ae.filters,
+                    downsample=ae.downsample,
+                    norm=ae.normalise,
+                    out_channels=ae.out_channels,
+                    rounding=ae.rounding,
+                ),
+            )
+        c.add("fuser", AnatomyFuser())
+        c.add("enc_modality", ModalityEncoder(conf.num_z))
+        c.add("segmentor", Segmentor(conf.num_masks))
+        c.add("decoder", Decoder(conf.decoder_type, conf.input_hw))
+        c.add(
+            "d_mask",
+            Discriminator(
+                conf.d_mask_params.filters, conf.d_mask_params.downsample_blocks
+            ),
+        )
+        self.components = c
+        self.modalities = list(conf.modality)
+
+    def init(self, rng):
+        conf = self.conf
+        H, W = conf.input_hw
+        C = conf.input_shape[-1]
+        sc = conf.anatomy_encoder.out_channels
+        x = jnp.zeros((1, H, W, C))
+        s = jnp.zeros((1, H, W, sc))
+        m = jnp.zeros((1, H, W, conf.num_masks))
+
+        keys = jax.random.split(rng, 8)
+        params: Dict = {}
+        state: Dict = {}
+
+        def setup(i, name, *args, rngs_extra=()):
+            p, st = self.components.init_component(
+                name, keys[i], *args, rngs_extra=rngs_extra
+            )
+            params[name] = p
+            for col, tree in st.items():
+                state.setdefault(col, {})[name] = tree
+
+        setup(0, "enc_anatomy1", x)
+        setup(1, "enc_anatomy2", x)
+        setup(2, "fuser", s, s)
+        setup(3, "enc_modality", s, x, rngs_extra=("sample",))
+        setup(4, "segmentor", s)
+        setup(5, "decoder", s, jnp.zeros((1, conf.num_z)))
+        setup(6, "d_mask", m)
+        return params, state
+
+    # ------------------------------------------------------------- helpers
+
+    def encode_anatomy(self, params, state, idx, x, train=False, update=False):
+        name = "enc_anatomy%d" % (idx + 1)
+        s, new_st, _ = self.components.apply(
+            name, params, state, x, train=train, update_state=update
+        )
+        state = self.components.merge_state(state, name, new_st)
+        return s, state
+
+    def segment(self, params, state, s, train=False, update=False):
+        m, new_st, _ = self.components.apply(
+            "segmentor", params, state, s, train=train, update_state=update
+        )
+        state = self.components.merge_state(state, "segmentor", new_st)
+        return m, state
+
+    def fuse(self, params, state, sa, sb, train=False):
+        (s_def, s_fused), _, _ = self.components.apply(
+            "fuser", params, state, sa, sb, train=train
+        )
+        return s_def, s_fused
+
+    def encode_modality(self, params, state, s, x, rng, train=False, sample=True):
+        (z, mu, logvar, kl), _, _ = self.components.apply(
+            "enc_modality",
+            params,
+            state,
+            s,
+            x,
+            train=train,
+            rngs={"sample": rng} if sample else None,
+            sample=sample,
+        )
+        return z, mu, logvar, kl
+
+    def decode(self, params, state, s, z, train=False):
+        y, _, _ = self.components.apply("decoder", params, state, s, z, train=train)
+        return y
+
+    def discriminate(self, params, state, x, collect_spectral=False):
+        out, new_st, penalty = self.components.apply(
+            "d_mask", params, state, x, collect_spectral=collect_spectral
+        )
+        if collect_spectral:
+            state = self.components.merge_state(state, "d_mask", new_st)
+            return out, penalty, state
+        return out
+
+    # ------------------------------------------------------ generator loss
+
+    def gen_loss(self, gen_params, disc_params, state, batch, rng, supervised):
+        """18-output trainer loss (models/mmsdnet.py:95-192; targets from
+        model_executors/mmsdnet_executor.py:242-306)."""
+        conf = self.conf
+        params = {**gen_params, **disc_params}
+        nm = conf.num_masks
+        x1, x2 = batch["x1"], batch["x2"]
+        keys = jax.random.split(rng, 6)
+
+        s1, state = self.encode_anatomy(params, state, 0, x1, True, True)
+        s2, state = self.encode_anatomy(params, state, 1, x2, True, True)
+        z1, _, _, kl1 = self.encode_modality(params, state, s1, x1, keys[0], True)
+        z2, _, _, kl2 = self.encode_modality(params, state, s2, x2, keys[1], True)
+
+        m1, state = self.segment(params, state, s1, True, True)
+        m2, state = self.segment(params, state, s2, True, True)
+        y1 = self.decode(params, state, s1, z1, True)
+        y2 = self.decode(params, state, s2, z2, True)
+
+        s1_def, s1_fused = self.fuse(params, state, s1, s2, True)
+        s2_def, s2_fused = self.fuse(params, state, s2, s1, True)
+
+        fused_ms = []
+        for s in (s1_def, s1_fused, s2_def, s2_fused):
+            m, state = self.segment(params, state, s, True, True)
+            fused_ms.append(m)
+
+        # modality encodings + reconstructions of the deformed/fused
+        # anatomies (mmsdnet.py:117-124): s1-derived ones pair with x2.
+        z_s1def, _, _, kl_s1def = self.encode_modality(params, state, s1_def, x2, keys[2], True)
+        z_s1fus, _, _, kl_s1fus = self.encode_modality(params, state, s1_fused, x2, keys[3], True)
+        z_s2def, _, _, kl_s2def = self.encode_modality(params, state, s2_def, x1, keys[4], True)
+        z_s2fus, _, _, kl_s2fus = self.encode_modality(params, state, s2_fused, x1, keys[5], True)
+
+        rec_list = [
+            (x1, y1),
+            (x2, y2),
+            (x2, self.decode(params, state, s1_def, z_s1def, True)),
+            (x2, self.decode(params, state, s1_fused, z_s1fus, True)),
+            (x1, self.decode(params, state, s2_def, z_s2def, True)),
+            (x1, self.decode(params, state, s2_fused, z_s2fus, True)),
+        ]
+
+        m1_t = batch.get("m1")
+        if supervised:
+            m2_t = batch["m2"]
+            # targets [m1, m2, m2, m2, m1, m1] (mmsdnet_executor.py:185-189)
+            seg_pairs = [
+                (m1_t, m1),
+                (m2_t, m2),
+                (m2_t, fused_ms[0]),
+                (m2_t, fused_ms[1]),
+                (m1_t, fused_ms[2]),
+                (m1_t, fused_ms[3]),
+            ]
+            adv_list = [m1, m2] + fused_ms
+        else:
+            # only modality-1 masks exist (mmsdnet.py:107-116,136-144)
+            seg_pairs = [(m1_t, m1), (m1_t, fused_ms[2]), (m1_t, fused_ms[3])]
+            adv_list = [m1, m2] + fused_ms
+
+        seg = sum(
+            losses.restricted_dice_loss(t, p, nm) for t, p in seg_pairs
+        )
+        adv_m = sum(
+            losses.lsgan_fool(self.discriminate(params, state, m[..., :nm]))
+            for m in adv_list
+        )
+        rec = sum(losses.mae(t, p) for t, p in rec_list)
+        kl = sum(
+            losses.ypred_loss(k)
+            for k in (kl1, kl2, kl_s1def, kl_s1fus, kl_s2def, kl_s2fus)
+        )
+
+        total = (
+            conf.w_sup_M * seg
+            + conf.w_adv_M * adv_m
+            + conf.w_rec_X * rec
+            + conf.w_kl * kl
+        )
+        metrics = {
+            "supervised_Mask": seg,
+            "adv_M": adv_m,
+            "rec_X": rec,
+            "KL": kl,
+            "loss": total,
+        }
+        return total, (metrics, state)
+
+    # ------------------------------------------------------ z-regressor
+
+    def make_z_regressor_anatomies(self, params, state, x1, x2):
+        """The 6 anatomy variants fed to the Z-regressor, computed in predict
+        mode and detached (mmsdnet_executor.py:267-276)."""
+        s1, _ = self.encode_anatomy(params, state, 0, x1, False, False)
+        s2, _ = self.encode_anatomy(params, state, 1, x2, False, False)
+        s1_def, s1_fused = self.fuse(params, state, s1, s2, False)
+        s2_def, s2_fused = self.fuse(params, state, s2, s1, False)
+        return [
+            jax.lax.stop_gradient(s)
+            for s in (s1, s2, s1_def, s1_fused, s2_def, s2_fused)
+        ]
+
+    def z_regressor_loss(self, zreg_params, other_params, state, s_list, z_list, rng):
+        """Z-regressor loss: mae(z, Enc_Modality_mu(s, Decoder(s, z))) summed
+        over the 6 (s, z) pairs (models/mmsdnet.py:194-208)."""
+        params = {**other_params, **zreg_params}
+        total = 0.0
+        for i, (s, z) in enumerate(zip(s_list, z_list)):
+            y = self.decode(params, state, s, z, True)
+            _, mu, _, _ = self.encode_modality(
+                params, state, s, y, jax.random.fold_in(rng, i), True, sample=False
+            )
+            total = total + losses.mae(z, mu)
+        total = self.conf.w_rec_Z * total
+        return total, ({"rec_Z": total}, state)
+
+    # ------------------------------------------------- discriminator loss
+
+    def d_mask_loss(self, d_params, gen_params, state, batch, rng):
+        """Single mask-discriminator update per batch
+        (mmsdnet_executor.py:308-331): fake pool = simple segmentations of
+        both modalities + deformed + fused of modality 1, subsampled."""
+        params = {**gen_params, **d_params}
+        nm = self.conf.num_masks
+        x1, x2 = batch["dx1"], batch["dx2"]
+        m_real = batch["dm"][..., :nm]
+        B = m_real.shape[0]
+
+        s1, _ = self.encode_anatomy(params, state, 0, x1, False, False)
+        s2, _ = self.encode_anatomy(params, state, 1, x2, False, False)
+        m1_hat, _ = self.segment(params, state, s1, False, False)
+        m2_hat, _ = self.segment(params, state, s2, False, False)
+        s1_def, s1_fused = self.fuse(params, state, s1, s2, False)
+        m_def, _ = self.segment(params, state, s1_def, False, False)
+        m_fus, _ = self.segment(params, state, s1_fused, False, False)
+
+        pool = jnp.concatenate(
+            [m1_hat[..., :nm], m2_hat[..., :nm], m_def[..., :nm], m_fus[..., :nm]],
+            axis=0,
+        )
+        idx = jax.random.choice(rng, pool.shape[0], (B,), replace=False)
+        fake_m = jax.lax.stop_gradient(jnp.take(pool, idx, axis=0))
+
+        d_real, penalty, state = self.discriminate(
+            params, state, m_real, collect_spectral=True
+        )
+        d_fake = self.discriminate(params, state, fake_m)
+        total = losses.lsgan_disc(d_real, d_fake) + penalty
+        return total, ({"dis_M": total}, state)
+
+    # ------------------------------------------------------------ inference
+
+    def predict_mask(self, params, state, modality_index, fusion_type, images):
+        """models/mmsdnet.py:210-232."""
+        assert fusion_type in ("simple", "def", "max", "maxnostn")
+        idx2 = modality_index
+        idx1 = 1 - idx2
+        s1, _ = self.encode_anatomy(params, state, idx1, images[idx1], False, False)
+        s2, _ = self.encode_anatomy(params, state, idx2, images[idx2], False, False)
+        if fusion_type == "simple":
+            s = s2
+        elif fusion_type == "maxnostn":
+            s = jnp.maximum(s1, s2)
+        else:
+            s_def, s_fused = self.fuse(params, state, s1, s2, False)
+            s = s_def if fusion_type == "def" else s_fused
+        m, _ = self.segment(params, state, s, False, False)
+        return m

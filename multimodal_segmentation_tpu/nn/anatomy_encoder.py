@@ -1,0 +1,84 @@
+"""Anatomy encoders: UNet body -> 1x1 softmax conv -> straight-through rounding.
+
+Reference: model_components/anatomy_encoder.py.
+* `AnatomyEncoder` = the single-modality encoder (build(), :13-30) used by
+  MMSDNet (one fully-private encoder per modality).
+* `DualAnatomyEncoder` = the DAFNet variant (AnatomyEncoders, :32-73): each
+  modality has a private downsample path, while the bottleneck, the whole
+  upsample path and the final 1x1 conv are shared between modalities.
+"""
+
+from flax import linen as nn
+
+from multimodal_segmentation_tpu.nn.blocks import he_normal
+from multimodal_segmentation_tpu.nn.unet import UNetBottleneck, UNetDown, UNetUp
+from multimodal_segmentation_tpu.ops.rounding import round_ste
+
+
+class AnatomyEncoder(nn.Module):
+    """Single-modality anatomy encoder (anatomy_encoder.py:13-30)."""
+
+    filters: int = 64
+    downsample: int = 4
+    norm: str = "batch"
+    out_channels: int = 8
+    rounding: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x, skips = UNetDown(self.filters, self.downsample, self.norm)(x, train)
+        x = UNetBottleneck(self.filters, self.downsample, self.norm)(x, train)
+        x = UNetUp(self.filters, self.downsample, self.norm)(x, skips, train)
+        x = nn.Conv(
+            self.out_channels, (1, 1), padding="SAME", name="conv_anatomy"
+        )(x)
+        s = nn.softmax(x, axis=-1)
+        if self.rounding:
+            s = round_ste(s)
+        return s
+
+
+class DualAnatomyEncoder(nn.Module):
+    """Two anatomy encoders with private downsampling and a shared decoder.
+
+    Reference anatomy_encoder.py:32-73: the shared part spans the bottleneck
+    conv block (l0_1..l0_6), every upsample stage (l1..l40) and the final
+    softmax conv; only the per-modality UNetDown paths are private.
+    """
+
+    filters: int = 64
+    downsample: int = 4
+    norm: str = "batch"
+    out_channels: int = 8
+    rounding: bool = True
+
+    def setup(self):
+        self.down1 = UNetDown(self.filters, self.downsample, self.norm)
+        self.down2 = UNetDown(self.filters, self.downsample, self.norm)
+        self.shared_bottleneck = UNetBottleneck(
+            self.filters, self.downsample, self.norm
+        )
+        self.shared_up = UNetUp(self.filters, self.downsample, self.norm)
+        self.shared_out = nn.Conv(
+            self.out_channels, (1, 1), padding="SAME", name="conv_anatomy"
+        )
+
+    def _encode(self, down, x, train):
+        h, skips = down(x, train)
+        h = self.shared_bottleneck(h, train)
+        h = self.shared_up(h, skips, train)
+        s = nn.softmax(self.shared_out(h), axis=-1)
+        if self.rounding:
+            s = round_ste(s)
+        return s
+
+    def __call__(self, x1, x2, train: bool = False):
+        return self._encode(self.down1, x1, train), self._encode(
+            self.down2, x2, train
+        )
+
+    def encode1(self, x, train: bool = False):
+        return self._encode(self.down1, x, train)
+
+    def encode2(self, x, train: bool = False):
+        return self._encode(self.down2, x, train)

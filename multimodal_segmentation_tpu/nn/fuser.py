@@ -1,0 +1,55 @@
+"""Anatomy fuser: LocNet predicts TPS control-point offsets; the first
+anatomy is deformed into the second's space and fused with pixelwise max.
+
+Reference: model_components/anatomy_fuser.py:12-38 and
+layers/stn_spline.py:94-118 (build_locnet).
+"""
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_segmentation_tpu.nn.blocks import leaky_relu, max_pool2
+from multimodal_segmentation_tpu.ops.tps import tps_warp
+
+
+class LocNet(nn.Module):
+    """Localisation net predicting 5x5x2 control-point offsets.
+
+    Zero-initialised final Dense so training starts at the identity warp
+    (stn_spline.py:116).
+    """
+
+    cp_points: int = 25
+
+    @nn.compact
+    def __call__(self, s1, s2, train: bool = False):
+        x = jnp.concatenate([s1, s2], axis=-1)
+        for _ in range(2):
+            x = nn.Conv(20, (5, 5), padding="VALID")(x)
+            x = leaky_relu(x)
+            x = max_pool2(x)
+        x = nn.Conv(20, (5, 5), padding="VALID")(x)
+        x = leaky_relu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.tanh(nn.Dense(100)(x))
+        theta = nn.Dense(
+            self.cp_points * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+        )(x)
+        return theta.reshape(-1, self.cp_points, 2)
+
+
+class AnatomyFuser(nn.Module):
+    """Deform s1 -> s2 space via TPS-STN; fuse with max (anatomy_fuser.py:28-33)."""
+
+    cp_dims: tuple = (5, 5)
+
+    def setup(self):
+        self.locnet = LocNet(self.cp_dims[0] * self.cp_dims[1])
+
+    def __call__(self, s1, s2, train: bool = False):
+        theta = self.locnet(s1, s2, train)
+        s1_def = tps_warp(s1, theta, cp_dims=self.cp_dims)
+        s_fused = jnp.maximum(s1_def, s2)
+        return s1_def, s_fused

@@ -1,0 +1,72 @@
+"""On-device data augmentation.
+
+The reference augments on the host with keras ImageDataGenerator
+(model_executors/base_executor.py:37-78,103-110: rotation_range=20 only,
+applied with identical seed to images and masks of both modalities, i.e. the
+same rotation per sample across all arrays). Host-side augmentation is a
+CPU bottleneck and an extra HBM transfer on TPU; here rotation runs inside
+the jitted train step.
+
+Interpolation semantics match Keras 2.1.6 apply_transform: nearest-neighbour
+resampling (scipy affine_transform order=0) with 'nearest' edge fill.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _rotate_one(img, theta):
+    """Rotate one (H, W, C) image by theta radians about the image centre.
+
+    Nearest-neighbour sampling, edge-clamp fill ('nearest' mode).
+    """
+    H, W, _ = img.shape
+    cy = (H - 1) / 2.0
+    cx = (W - 1) / 2.0
+    ys = jnp.arange(H, dtype=img.dtype)[:, None]
+    xs = jnp.arange(W, dtype=img.dtype)[None, :]
+    cos_t = jnp.cos(theta)
+    sin_t = jnp.sin(theta)
+    # Inverse mapping: source = R(-theta) @ (dest - c) + c
+    dy = ys - cy
+    dx = xs - cx
+    src_y = cos_t * dy - sin_t * dx + cy
+    src_x = sin_t * dy + cos_t * dx + cx
+    yi = jnp.clip(jnp.round(src_y), 0, H - 1).astype(jnp.int32)
+    xi = jnp.clip(jnp.round(src_x), 0, W - 1).astype(jnp.int32)
+    flat = img.reshape(H * W, -1)
+    out = jnp.take(flat, (yi * W + xi).reshape(-1), axis=0)
+    return out.reshape(img.shape)
+
+
+def random_rotation_angles(rng, batch, rotation_range_deg=20.0):
+    """Uniform angles in (-range, range) degrees, returned in radians."""
+    deg = jax.random.uniform(
+        rng, (batch,), minval=-rotation_range_deg, maxval=rotation_range_deg
+    )
+    return deg * (jnp.pi / 180.0)
+
+
+def rotate_batch(batch_imgs, thetas):
+    """Rotate a (B, H, W, C) batch by per-sample angles (radians)."""
+    return jax.vmap(_rotate_one)(batch_imgs, thetas)
+
+
+def random_rotate_batch(rng, arrays, rotation_range_deg=20.0):
+    """Rotate every array in `arrays` by the SAME per-sample random angles.
+
+    Mirrors the reference's shared-seed ImageDataGenerator behaviour where
+    images and masks of both modalities receive identical transforms
+    (model_executors/base_executor.py:37-78).
+
+    Args:
+      rng: PRNG key.
+      arrays: list of (B, H, W, C) arrays (images and masks).
+
+    Returns:
+      list of rotated arrays.
+    """
+    if not arrays:
+        return arrays
+    thetas = random_rotation_angles(rng, arrays[0].shape[0], rotation_range_deg)
+    return [rotate_batch(a, thetas.astype(a.dtype)) for a in arrays]

@@ -1,0 +1,31 @@
+"""Straight-through rounding.
+
+Binarises the softmax-ed anatomy channels while letting gradients pass
+through unchanged. Replaces the reference's tf.py_func + gradient-override
+implementation (reference: layers/rounding.py:8-42) with a jax.custom_vjp —
+the forward is a pure `jnp.round` that XLA fuses into the surrounding
+program (the reference implementation forced a host round-trip through
+numpy on every call).
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.custom_vjp
+def round_ste(x):
+    """Round to the nearest integer; identity gradient (straight-through)."""
+    return jnp.round(x)
+
+
+def _round_ste_fwd(x):
+    return jnp.round(x), None
+
+
+def _round_ste_bwd(_, g):
+    # Identity gradient, matching the reference override
+    # (layers/rounding.py:40-42: grad * 1).
+    return (g,)
+
+
+round_ste.defvjp(_round_ste_fwd, _round_ste_bwd)

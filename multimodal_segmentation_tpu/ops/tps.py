@@ -1,0 +1,159 @@
+"""Thin-plate-spline warping (the STN of the anatomy fuser).
+
+TPU-native re-design of the reference's per-sample `tf.map_fn` +
+`tf.matrix_solve` + `tf.contrib.resampler` pipeline (reference:
+layers/stn_spline.py:38-67 and layers/interpolate_spline.py:76-179).
+
+Design notes (TPU-first):
+* The per-sample loop becomes a `vmap` over the batch — the 28x28 linear
+  solves batch into one XLA BatchedTriangularSolve.
+* The RBF evaluation at H*W query points is a (H*W, n+3) @ (n+3, 2) matmul —
+  MXU work, computed for the whole batch at once.
+* The final bilinear gather uses ops.resample (XLA gather) or the Pallas
+  warp kernel on TPU.
+
+Math (matches TF's polyharmonic interpolate_spline, order=2):
+  f(q) = sum_i w_i * phi(||q - c_i||^2) + [q, 1] @ v
+  phi(r2) = 0.5 * r2 * log(max(r2, eps))           (thin-plate, order 2)
+with (w, v) solved from  [[A, B], [B^T, 0]] [w; v] = [f; 0].
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_segmentation_tpu.ops.resample import bilinear_sample
+
+_EPSILON = 1e-10  # matches reference layers/interpolate_spline.py:27
+
+
+def _phi(r2, order=2):
+    """Polyharmonic radial basis on *squared* distances.
+
+    Matches reference layers/interpolate_spline.py:182-209.
+    """
+    if order == 1:
+        return jnp.sqrt(jnp.maximum(r2, _EPSILON))
+    if order == 2:
+        return 0.5 * r2 * jnp.log(jnp.maximum(r2, _EPSILON))
+    if order == 4:
+        return 0.5 * jnp.square(r2) * jnp.log(jnp.maximum(r2, _EPSILON))
+    if order % 2 == 0:
+        r2 = jnp.maximum(r2, _EPSILON)
+        return 0.5 * jnp.power(r2, 0.5 * order) * jnp.log(r2)
+    r2 = jnp.maximum(r2, _EPSILON)
+    return jnp.power(r2, 0.5 * order)
+
+
+def _sq_dist(x, y):
+    """Pairwise squared distances between rows of x (n,d) and y (m,d)."""
+    xn = jnp.sum(jnp.square(x), axis=-1)[:, None]
+    yn = jnp.sum(jnp.square(y), axis=-1)[None, :]
+    return xn - 2.0 * (x @ y.T) + yn
+
+
+def control_grid(dims, normalise=True):
+    """Normalised n-D grid of control/query points, row-major (y, x) order.
+
+    Matches reference layers/stn_spline.py:70-91 (nDgrid): e.g. dims=[5,5]
+    gives a (25, 2) array with coordinates in [0, 1].
+    """
+    mesh = np.mgrid[tuple(slice(0, d) for d in dims)]
+    grid = mesh.reshape(len(dims), -1).T.astype(np.float32)
+    if normalise:
+        grid = grid / (np.asarray(dims, dtype=np.float32) - 1.0)
+    return jnp.asarray(grid)
+
+
+def solve_tps(train_points, train_values, order=2, regularization=0.0):
+    """Solve for TPS coefficients (single sample).
+
+    Args:
+      train_points: (n, d) interpolation centres.
+      train_values: (n, k) values at the centres.
+
+    Returns:
+      w: (n, k) RBF weights; v: (d+1, k) affine weights.
+
+    Matches reference layers/interpolate_spline.py:76-147.
+    """
+    n, d = train_points.shape
+    k = train_values.shape[-1]
+    a = _phi(_sq_dist(train_points, train_points), order)
+    if regularization > 0:
+        a = a + regularization * jnp.eye(n, dtype=a.dtype)
+    ones = jnp.ones_like(train_points[:, :1])
+    b = jnp.concatenate([train_points, ones], axis=1)  # (n, d+1)
+    lhs = jnp.concatenate(
+        [
+            jnp.concatenate([a, b], axis=1),
+            jnp.concatenate([b.T, jnp.zeros((d + 1, d + 1), a.dtype)], axis=1),
+        ],
+        axis=0,
+    )  # (n+d+1, n+d+1)
+    rhs = jnp.concatenate([train_values, jnp.zeros((d + 1, k), a.dtype)], axis=0)
+    wv = jnp.linalg.solve(lhs, rhs)
+    return wv[:n], wv[n:]
+
+
+def _interpolate(train_points, train_values, query_points, order=2):
+    """Evaluate the spline fitted to (train_points -> train_values) at query_points."""
+    w, v = solve_tps(train_points, train_values, order)
+    phi_q = _phi(_sq_dist(query_points, train_points), order)  # (m, n)
+    rbf = phi_q @ w
+    q_pad = jnp.concatenate([query_points, jnp.ones_like(query_points[:, :1])], axis=1)
+    return rbf + q_pad @ v
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def tps_sample_locations(cp_offsets, vol_shape, cp_dims=(5, 5), inverse=False, order=2):
+    """Dense per-pixel sample locations for a batch of control-point offsets.
+
+    Args:
+      cp_offsets: (B, n_cp, 2) offsets of the control points, in normalised
+        [0, 1] grid coordinates, (y, x) order.
+      vol_shape: (H, W) of the image being warped.
+
+    Returns:
+      (B, H*W, 2) float pixel-space sample locations in (y, x) order.
+
+    Matches reference layers/stn_spline.py:38-64: the spline is fitted from
+    the regular control grid to the offset grid (or the inverse mapping when
+    `inverse`), evaluated at every output pixel, then scaled to pixels.
+    """
+    cp_grid = control_grid(list(cp_dims))
+    q_grid = control_grid(list(vol_shape))
+
+    def one(offsets):
+        warped_cp = cp_grid + offsets
+        if inverse:
+            locs = _interpolate(warped_cp, cp_grid, q_grid, order)
+        else:
+            locs = _interpolate(cp_grid, warped_cp, q_grid, order)
+        return locs
+
+    locs = jax.vmap(one)(cp_offsets)  # (B, H*W, 2) normalised (y, x)
+    scale = jnp.asarray(
+        [vol_shape[0] - 1, vol_shape[1] - 1], dtype=locs.dtype
+    )
+    return locs * scale
+
+
+def tps_warp(vol, cp_offsets, cp_dims=(5, 5), inverse=False, order=2):
+    """Warp a batch of images with a thin-plate-spline deformation.
+
+    Args:
+      vol: (B, H, W, C) images.
+      cp_offsets: (B, n_cp, 2) control-point offsets (normalised, (y, x)).
+
+    Returns:
+      (B, H, W, C) warped images (zeros where sampling falls outside).
+
+    Replaces reference layers/stn_spline.py:55-67 (ThinPlateSpline2D.call).
+    """
+    B, H, W, C = vol.shape
+    locs = tps_sample_locations(cp_offsets, (H, W), cp_dims, inverse, order)
+    warped = jax.vmap(bilinear_sample)(vol, locs)  # (B, H*W, C)
+    return warped.reshape(B, H, W, C)
