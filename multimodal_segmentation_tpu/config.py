@@ -71,6 +71,9 @@ class ExperimentConfig:
     rotation_range: float = 20.0
     # Mixed precision for the compute path (TPU bf16); params stay f32.
     compute_dtype: str = "float32"
+    # Optional cap on batches per epoch (None = full epoch like the
+    # reference); used by smoke runs and tests.
+    steps_per_epoch: int = 0
 
     anatomy_encoder: AnatomyEncoderConfig = dataclasses.field(
         default_factory=AnatomyEncoderConfig

@@ -1,0 +1,404 @@
+"""Training executors: epoch/batch loops around the jitted steps.
+
+Reference: model_executors/mmsdnet_executor.py and dafnet_executor.py. The
+loop structure (labelled/unlabelled paths per l_mix, discriminator batches
+from separate unlabelled pools, per-epoch validation + SWA + early stop +
+artifact logging) is preserved; the per-batch GPU choreography is replaced
+by the fused XLA steps in train/steps.py.
+"""
+
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_segmentation_tpu import losses
+from multimodal_segmentation_tpu.data.batches import BatchStream
+from multimodal_segmentation_tpu.data.loader_factory import init_loader
+from multimodal_segmentation_tpu.train.early_stopping import EarlyStopping
+from multimodal_segmentation_tpu.train.state import create_train_state
+from multimodal_segmentation_tpu.train.steps import make_steps
+from multimodal_segmentation_tpu.train.swa import swa_update
+from multimodal_segmentation_tpu.utils.checkpoint import CheckpointManager
+from multimodal_segmentation_tpu.utils.observability import (
+    LossLogger,
+    TrainingImageCallback,
+)
+
+log = logging.getLogger("executor")
+
+
+class Executor:
+    """Shared scaffolding (reference model_executors/base_executor.py:14)."""
+
+    def __init__(self, conf, model, mesh=None):
+        self.conf = conf
+        self.model = model
+        self.mesh = mesh
+        loader_kwargs = {}
+        if conf.dataset_name == "synthetic":
+            loader_kwargs["hw"] = conf.input_hw
+        self.loader = init_loader(conf.dataset_name, **loader_kwargs)
+        self.loader.modalities = list(conf.modality)
+        self.steps = make_steps(model, conf, mesh)
+        self.ckpt = CheckpointManager(conf.folder)
+        self.data = None
+        self.ul_data = None
+        self.data_len = 0
+        self._predict_mask = jax.jit(
+            model.predict_mask, static_argnums=(2, 3)
+        )
+
+    # ---------------------------------------------------------------- data
+
+    def _load_labelled(self):
+        """l_mix volume-level labelled subset
+        (mmsdnet_executor.py:52-66, dafnet_executor.py:79-100)."""
+        conf = self.conf
+        if conf.l_mix == 0:
+            return None
+        data = self.loader.load_all_modalities_concatenated(
+            conf.split, "training", conf.image_downsample
+        )
+        data.sample(int(np.round(conf.l_mix * data.num_volumes)), seed=conf.seed)
+        if getattr(conf, "randomise", False):
+            data.randomise_pairs(conf.n_pairs - 1, seed=conf.seed)
+        elif getattr(conf, "automatedpairing", False):
+            data.expand_pairs(conf.n_pairs - 1, 0, neighborhood=conf.n_pairs)
+            data.expand_pairs(conf.n_pairs - 1, 1, neighborhood=conf.n_pairs)
+        self.data = data
+        self.data_len = data.size()
+        return data
+
+    def _load_unlabelled(self):
+        """Unlabelled complement of the labelled volumes
+        (dafnet_executor.py:102-151)."""
+        conf = self.conf
+        if conf.l_mix == 1:
+            return None
+        ul = self.loader.load_all_modalities_concatenated(
+            conf.split, "training", conf.image_downsample
+        )
+        if getattr(conf, "randomise", False):
+            ul.randomise_pairs(length=conf.n_pairs - 1)
+        elif getattr(conf, "automatedpairing", False):
+            ul.expand_pairs(conf.n_pairs - 1, 0, neighborhood=conf.n_pairs)
+            ul.expand_pairs(conf.n_pairs - 1, 1, neighborhood=conf.n_pairs)
+        if conf.l_mix > 0:
+            num_lb = int(np.round(conf.l_mix * ul.num_volumes))
+            np.random.seed(conf.seed)
+            lb_vols = set(
+                np.random.choice(ul.volumes(), size=num_lb, replace=False).tolist()
+            )
+            ul.filter_volumes([v for v in ul.volumes() if v not in lb_vols])
+        self.ul_data = ul
+        if self.data is None or ul.size() > self.data_len:
+            self.data_len = ul.size()
+        return ul
+
+    def _disc_mask_pool(self):
+        """Real-mask pool for the mask discriminator
+        (dafnet_executor.py:161-176)."""
+        masks = []
+        if self.data is not None:
+            masks += [self.data.get_masks_modi(0), self.data.get_masks_modi(1)]
+        if self.ul_data is not None:
+            masks.append(self.ul_data.get_masks_modi(0))
+        return np.concatenate(masks, axis=0)
+
+    def _disc_image_pool(self):
+        """Per-modality image pools for the image discriminators / fake
+        generation (dafnet_executor.py:178-184: the full training split)."""
+        full = self.loader.load_all_modalities_concatenated(
+            self.conf.split, "training", self.conf.image_downsample
+        )
+        return full.get_images_modi(0), full.get_images_modi(1)
+
+    def init_train_data(self):
+        conf = self.conf
+        self._load_labelled()
+        self._load_unlabelled()
+
+        auto = getattr(conf, "automatedpairing", False)
+        if self.data is not None:
+            if auto:
+                lab = {
+                    "x1_pairs": self.data.get_images_modi(0),
+                    "x2_pairs": self.data.get_images_modi(1),
+                    "m1": self.data.get_masks_modi(0),
+                    "m2": self.data.get_masks_modi(1),
+                }
+            else:
+                lab = {
+                    "x1": self.data.get_images_modi(0),
+                    "x2": self.data.get_images_modi(1),
+                    "m1": self.data.get_masks_modi(0),
+                    "m2": self.data.get_masks_modi(1),
+                }
+            self.gen_labelled = BatchStream(lab, conf.batch_size, conf.seed)
+        else:
+            self.gen_labelled = None
+
+        if self.ul_data is not None:
+            if auto:
+                ul = {
+                    "x1_pairs": self.ul_data.get_images_modi(0),
+                    "x2_pairs": self.ul_data.get_images_modi(1),
+                    "m1": self.ul_data.get_masks_modi(0),
+                }
+            else:
+                ul = {
+                    "x1": self.ul_data.get_images_modi(0),
+                    "x2": self.ul_data.get_images_modi(1),
+                    "m1": self.ul_data.get_masks_modi(0),
+                }
+            self.gen_unlabelled = BatchStream(ul, conf.batch_size, conf.seed + 1)
+        else:
+            self.gen_unlabelled = None
+
+        self.disc_masks = BatchStream(
+            {"m": self._disc_mask_pool()}, conf.batch_size, conf.seed + 2
+        )
+        dx1, dx2 = self._disc_image_pool()
+        self.disc_images = BatchStream(
+            {"dx1": dx1, "dx2": dx2}, conf.batch_size, conf.seed + 3
+        )
+
+        self.batches = int(np.ceil(self.data_len / conf.batch_size))
+        if getattr(conf, "steps_per_epoch", None):
+            self.batches = min(self.batches, conf.steps_per_epoch)
+
+    # ------------------------------------------------------------ training
+
+    def create_state(self):
+        ts = create_train_state(
+            self.model, self.conf, jax.random.PRNGKey(self.conf.seed)
+        )
+        start_epoch = 0
+        latest = self.ckpt.latest_epoch()
+        if latest is not None:
+            log.info("Resuming from checkpoint at epoch %d", latest)
+            ts = self.ckpt.restore(latest, jax.device_get(ts))
+            ts = jax.tree_util.tree_map(jnp.asarray, ts)
+            start_epoch = latest + 1
+        return ts, start_epoch
+
+    def train(self):
+        conf = self.conf
+        os.makedirs(conf.folder, exist_ok=True)
+        self.init_train_data()
+        ts, start_epoch = self.create_state()
+
+        loss_logger = LossLogger(conf.folder)
+        sample_batch = (
+            self.gen_labelled.arrays
+            if self.gen_labelled is not None
+            else self.gen_unlabelled.arrays
+        )
+        if "x1" in sample_batch:
+            img_cb = TrainingImageCallback(conf.folder, self.model, sample_batch)
+        else:
+            img_cb = None
+        es = EarlyStopping(
+            "val_loss_mod2_fused", conf.es_min_delta, conf.es_patience
+        )
+
+        for epoch in range(start_epoch, conf.epochs):
+            t0 = time.time()
+            ts = ts.replace(epoch=jnp.asarray(epoch, jnp.int32))
+            epoch_metrics = {}
+
+            for _ in range(self.batches):
+                ts = self.train_batch(ts, epoch_metrics)
+
+            ts = self.on_epoch_end(ts, epoch)
+
+            logs = {k: float(np.mean(v)) for k, v in epoch_metrics.items()}
+            logs.update(self.validate(ts))
+            loss_logger.on_epoch_end(epoch, logs)
+            log.info(
+                "Epoch %d/%d (%.1fs): %s",
+                epoch,
+                conf.epochs,
+                time.time() - t0,
+                ", ".join("%s=%.4f" % (k, v) for k, v in sorted(logs.items())),
+            )
+
+            if img_cb is not None:
+                img_cb.on_epoch_end(
+                    epoch, *self.params_for_eval(ts)
+                )
+            self.ckpt.save(epoch, ts)
+            self.ckpt.save_component_weights(
+                os.path.join(conf.folder, "models"), self.params_for_eval(ts)[0]
+            )
+
+            if es.update(epoch, logs):
+                log.info("Finished training from early stopping criterion")
+                ts = self.on_train_end(ts)
+                self.ckpt.save(epoch + 1, ts)
+                break
+
+        self.final_state = ts
+        return ts
+
+    def train_batch(self, ts, epoch_metrics):
+        raise NotImplementedError
+
+    def on_epoch_end(self, ts, epoch):
+        return ts
+
+    def on_train_end(self, ts):
+        return ts
+
+    def params_for_eval(self, ts):
+        """(params, model_state) used for validation/inference."""
+        return ts.params, ts.model_state
+
+    def _collect(self, epoch_metrics, metrics):
+        for k, v in metrics.items():
+            epoch_metrics.setdefault(k, []).append(float(v))
+
+    # ---------------------------------------------------------- validation
+
+    def _validation_masks(self, params, state):
+        conf = self.conf
+        valid = self.loader.load_all_modalities_concatenated(
+            conf.split, "validation", conf.image_downsample
+        )
+        if getattr(conf, "randomise", False):
+            valid.randomise_pairs(length=conf.n_pairs - 1)
+        valid.crop(conf.input_hw)
+        images0 = jnp.asarray(valid.get_images_modi(0), jnp.float32)
+        images1 = jnp.asarray(valid.get_images_modi(1), jnp.float32)
+        masks0 = valid.get_masks_modi(0)
+        masks1 = valid.get_masks_modi(1)
+        preds = {}
+        for t in ("simple", "def", "max"):
+            preds[("mod2", t)] = np.asarray(
+                self._predict_mask(params, state, 1, t, [images0, images1])
+            )
+            preds[("mod1", t)] = np.asarray(
+                self._predict_mask(params, state, 0, t, [images0, images1])
+            )
+        return masks0, masks1, preds
+
+    def validate(self, ts):
+        """DAFNet-style validation losses (dafnet_executor.py:303-354);
+        MMSDNetExecutor overrides with its 4-metric variant."""
+        params, state = self.params_for_eval(ts)
+        masks0, masks1, p = self._validation_masks(params, state)
+        d = lambda m, y: 1 - losses.dice_np(m, y, binarise=True)
+        logs = {
+            "val_loss_mod1": d(masks0, p[("mod1", "simple")]),
+            "val_loss_mod2": d(masks1, p[("mod2", "simple")]),
+            "val_loss_mod2_mod1def": d(masks1, p[("mod2", "def")]),
+            "val_loss_mod1_mod2def": d(masks0, p[("mod1", "def")]),
+            "val_loss_mod2_fused": d(masks1, p[("mod2", "max")]),
+            "val_loss_mod1_fused": d(masks0, p[("mod1", "max")]),
+        }
+        logs["val_loss"] = float(
+            np.mean(
+                [
+                    logs["val_loss_mod1"],
+                    logs["val_loss_mod2"],
+                    logs["val_loss_mod2_mod1def"],
+                    logs["val_loss_mod2_fused"],
+                ]
+            )
+        )
+        return logs
+
+    # -------------------------------------------------------------- testing
+
+    def test(self):
+        from multimodal_segmentation_tpu.eval.tester import ModelTester
+
+        params, state = self.params_for_eval(self.final_state)
+        ModelTester(self.model, self.conf, params, state).run()
+
+
+class DAFNetExecutor(Executor):
+    """DAFNet loop: per batch, each active path (supervised / unsupervised)
+    runs its fused step (generator + both discriminator updates); SWA over
+    every component from epoch 40; validation on the SWA average
+    (dafnet_executor.py:212-284,303-367)."""
+
+    def train_batch(self, ts, epoch_metrics):
+        conf = self.conf
+        if conf.l_mix > 0:
+            batch = dict(next(self.gen_labelled))
+            dm1 = next(self.disc_masks)["m"]
+            dm2 = next(self.disc_masks)["m"]
+            batch.update(next(self.disc_images))
+            batch["dm1"], batch["dm2"] = dm1, dm2
+            ts, metrics = self.steps.step_supervised(ts, batch)
+            self._collect(epoch_metrics, metrics)
+        if conf.l_mix < 1:
+            batch = dict(next(self.gen_unlabelled))
+            dm1 = next(self.disc_masks)["m"]
+            dm2 = next(self.disc_masks)["m"]
+            batch.update(next(self.disc_images))
+            batch["dm1"], batch["dm2"] = dm1, dm2
+            ts, metrics = self.steps.step_unsupervised(ts, batch)
+            self._collect(epoch_metrics, metrics)
+        return ts
+
+    def on_epoch_end(self, ts, epoch):
+        new_swa = swa_update(
+            ts.swa_params, ts.params, jnp.asarray(epoch), self.conf.swa_start_epoch
+        )
+        return ts.replace(swa_params=new_swa)
+
+    def on_train_end(self, ts):
+        """Swap live weights to the SWA average (dafnet_executor.py:271-283)."""
+        return ts.replace(params=ts.swa_params)
+
+    def params_for_eval(self, ts):
+        # validation/checkpointing use SWA clone weights
+        # (dafnet_executor.py:286-301,319-335)
+        return ts.swa_params, ts.model_state
+
+
+class MMSDNetExecutor(Executor):
+    """MMSDNet loop: generator(+Z-regressor) steps for the active paths,
+    then one mask-discriminator step per batch; validation on live weights
+    (mmsdnet_executor.py:159-236)."""
+
+    def train_batch(self, ts, epoch_metrics):
+        conf = self.conf
+        if conf.l_mix > 0:
+            ts, metrics = self.steps.step_supervised(ts, next(self.gen_labelled))
+            self._collect(epoch_metrics, metrics)
+        if conf.l_mix < 1:
+            ts, metrics = self.steps.step_unsupervised(
+                ts, next(self.gen_unlabelled)
+            )
+            self._collect(epoch_metrics, metrics)
+        dbatch = {"dm": next(self.disc_masks)["m"], **next(self.disc_images)}
+        ts, metrics = self.steps.step_discriminator(ts, dbatch)
+        self._collect(epoch_metrics, metrics)
+        return ts
+
+    def validate(self, ts):
+        """4-metric validation (mmsdnet_executor.py:210-236)."""
+        params, state = self.params_for_eval(ts)
+        masks0, masks1, p = self._validation_masks(params, state)
+        d = lambda m, y: 1 - losses.dice_np(m, y, binarise=True)
+        logs = {
+            "val_loss_mod1": d(masks0, p[("mod1", "simple")]),
+            "val_loss_mod2": d(masks1, p[("mod2", "simple")]),
+            "val_loss_mod2_s1def": d(masks1, p[("mod2", "def")]),
+            "val_loss_mod2_fused": d(masks1, p[("mod2", "max")]),
+        }
+        logs["val_loss"] = float(np.mean(list(logs.values())))
+        return logs
+
+
+def make_executor(conf, model, mesh=None):
+    if conf.model == "mmsdnet":
+        return MMSDNetExecutor(conf, model, mesh)
+    return DAFNetExecutor(conf, model, mesh)

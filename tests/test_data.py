@@ -1,0 +1,138 @@
+"""Data-layer tests: containers, alignment table, synthetic fixture, batching."""
+
+import numpy as np
+
+from multimodal_segmentation_tpu.data.batches import BatchStream
+from multimodal_segmentation_tpu.data.chaos_alignment import (
+    ALIGNMENT_OPS,
+    aligned_indices,
+)
+from multimodal_segmentation_tpu.data.containers import (
+    Data,
+    MultimodalPairedData,
+    block_mean_downsample,
+    crop_same,
+    rescale,
+)
+from multimodal_segmentation_tpu.data.loader_factory import init_loader
+from multimodal_segmentation_tpu.data.synthetic import SyntheticChaosLoader
+
+
+def _paired(n_vols=3, slices=6, hw=16, nm=4, seed=0):
+    r = np.random.RandomState(seed)
+    n = n_vols * slices
+    images = r.rand(n, hw, hw, 2).astype(np.float32)
+    masks = (r.rand(n, hw, hw, 2 * nm) > 0.5).astype(np.float32)
+    index = np.repeat(np.arange(n_vols), slices)
+    return MultimodalPairedData(images, masks, index)
+
+
+class TestContainers:
+    def test_rescale(self):
+        x = np.array([[0.0, 5.0, 10.0]])
+        out = rescale(x, -1, 1)
+        np.testing.assert_allclose(out, [[-1, 0, 1]])
+
+    def test_crop_same_pads_and_crops(self):
+        im = [np.ones((2, 10, 20, 1))]
+        m = [np.ones((2, 10, 20, 1))]
+        imgs, msks = crop_same(im, m, size=(16, 16), pad_mode="constant")
+        assert imgs[0].shape == (2, 16, 16, 1)
+        assert msks[0].shape == (2, 16, 16, 1)
+
+    def test_block_downsample(self):
+        x = np.arange(16.0).reshape(1, 4, 4, 1)
+        out = block_mean_downsample(x, 2)
+        np.testing.assert_allclose(out[0, 0, 0, 0], np.mean([0, 1, 4, 5]))
+
+    def test_volume_sampling_is_volume_level(self):
+        d = _paired()
+        d.sample(2, seed=1)
+        assert d.num_volumes == 2
+        assert d.size() == 12
+
+    def test_expand_pairs_channels(self):
+        d = _paired()
+        d.expand_pairs(2, 0, neighborhood=3)
+        assert d.get_images_modi(0).shape[-1] == 3
+        assert d.get_images_modi(1).shape[-1] == 1
+
+    def test_expand_pairs_first_is_expert(self):
+        d = _paired()
+        before = d.get_images_modi(0).copy()
+        d.expand_pairs(2, 0, neighborhood=3)
+        np.testing.assert_allclose(d.get_images_modi(0)[..., 0:1], before)
+
+    def test_randomise_pairs_keeps_shape(self):
+        d = _paired()
+        shape = d.get_images_modi(0).shape
+        d.randomise_pairs(length=2, seed=0)
+        assert d.get_images_modi(0).shape == shape
+
+
+class TestAlignment:
+    def test_all_20_volumes_covered(self):
+        assert set(ALIGNMENT_OPS) == {
+            1, 2, 3, 5, 8, 10, 13, 15, 19, 20, 21, 22,
+            31, 32, 33, 34, 36, 37, 38, 39,
+        }
+
+    def test_volume1_counts(self):
+        # reference chaos.py:110-120: t1 26->20 slices, t2 (n-1)->[4:24]=20
+        i1, i2 = aligned_indices(1, 30, 30)
+        assert len(i1) == len(i2) == 20
+
+    def test_volume13_simple_range(self):
+        i1, i2 = aligned_indices(13, 40, 40)
+        np.testing.assert_array_equal(i1, np.arange(4, 29))
+        np.testing.assert_array_equal(i2, np.arange(3, 28))
+
+    def test_pairs_equal_length_all_volumes(self):
+        for v in ALIGNMENT_OPS:
+            i1, i2 = aligned_indices(v, 40, 40)
+            assert len(i1) == len(i2), v
+            assert len(i1) > 0, v
+
+
+class TestSynthetic:
+    def test_split_contract(self):
+        loader = SyntheticChaosLoader(hw=(32, 32))
+        s = loader.splits()[0]
+        assert len(s["training"]) == 14
+        assert len(s["validation"]) == 3
+        assert len(s["test"]) == 3
+
+    def test_load_training_shapes_and_ranges(self):
+        loader = SyntheticChaosLoader(hw=(32, 32))
+        data = loader.load_all_modalities_concatenated(0, "validation")
+        x1 = data.get_images_modi(0)
+        m1 = data.get_masks_modi(0)
+        assert x1.shape[1:] == (32, 32, 1)
+        assert m1.shape[-1] == 4
+        assert x1.max() <= 1.0 and x1.min() >= -1.0
+        assert set(np.unique(m1)) <= {0.0, 1.0}
+        assert data.num_volumes == 3
+
+    def test_deterministic(self):
+        a = SyntheticChaosLoader(hw=(32, 32)).load_all_modalities_concatenated(0, "test")
+        b = SyntheticChaosLoader(hw=(32, 32)).load_all_modalities_concatenated(0, "test")
+        np.testing.assert_allclose(a.get_images_modi(0), b.get_images_modi(0))
+
+    def test_factory_fallback(self):
+        loader = init_loader("chaos")
+        # pydicom or the data dir is absent in CI -> synthetic fallback;
+        # either way the loader satisfies the contract.
+        assert loader.num_masks == 4
+        assert loader.input_shape[-1] == 1
+
+
+class TestBatchStream:
+    def test_fixed_size_with_wraparound(self):
+        s = BatchStream({"x": np.arange(10)[:, None]}, batch_size=4, seed=0)
+        seen = [next(s)["x"].shape[0] for _ in range(5)]
+        assert seen == [4, 4, 4, 4, 4]
+
+    def test_epoch_covers_all(self):
+        s = BatchStream({"x": np.arange(8)[:, None]}, batch_size=4, seed=0)
+        got = np.concatenate([next(s)["x"][:, 0], next(s)["x"][:, 0]])
+        assert set(got.astype(int)) == set(range(8))

@@ -1,0 +1,174 @@
+"""End-to-end training tests: fused steps, SWA, early stopping, executors."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_segmentation_tpu.config import tiny_test_config
+from multimodal_segmentation_tpu.models import build_model
+from multimodal_segmentation_tpu.train.early_stopping import EarlyStopping
+from multimodal_segmentation_tpu.train.state import create_train_state
+from multimodal_segmentation_tpu.train.steps import make_steps
+from multimodal_segmentation_tpu.train.swa import swa_update
+
+
+def _tiny_batch(conf, automated=False, seed=0):
+    r = np.random.RandomState(seed)
+    B = conf.batch_size
+    H, W = conf.input_hw
+    nm = conf.num_masks
+    b = {
+        "m1": (r.rand(B, H, W, nm) > 0.8).astype(np.float32),
+        "m2": (r.rand(B, H, W, nm) > 0.8).astype(np.float32),
+        "dm1": (r.rand(B, H, W, nm) > 0.8).astype(np.float32),
+        "dm2": (r.rand(B, H, W, nm) > 0.8).astype(np.float32),
+        "dm": (r.rand(B, H, W, nm) > 0.8).astype(np.float32),
+        "dx1": r.rand(B, H, W, 1).astype(np.float32),
+        "dx2": r.rand(B, H, W, 1).astype(np.float32),
+    }
+    if automated:
+        b["x1_pairs"] = r.rand(B, H, W, conf.n_pairs).astype(np.float32)
+        b["x2_pairs"] = r.rand(B, H, W, conf.n_pairs).astype(np.float32)
+    else:
+        b["x1"] = r.rand(B, H, W, 1).astype(np.float32)
+        b["x2"] = r.rand(B, H, W, 1).astype(np.float32)
+    return {k: jnp.asarray(v) for k, v in b.items()}
+
+
+def _params_changed(a, b):
+    return any(
+        not np.allclose(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+    )
+
+
+class TestDAFNetStep:
+    def test_fused_supervised_step_updates_everything(self):
+        conf = tiny_test_config("dafnet")
+        model = build_model(conf)
+        steps = make_steps(model, conf)
+        ts = create_train_state(model, conf, jax.random.PRNGKey(0))
+        batch = _tiny_batch(conf)
+        ts2, metrics = steps.step_supervised(ts, batch)
+        for k in ("supervised_Mask", "dis_M", "dis_X1", "dis_X2", "rec_Z"):
+            assert np.isfinite(float(metrics[k])), k
+        assert int(ts2.step) == 1
+        # fresh state for comparison (ts was donated)
+        ts0 = create_train_state(model, conf, jax.random.PRNGKey(0))
+        for name in model.GEN_COMPONENTS + model.DISC_COMPONENTS:
+            if name == "balancer":
+                # only trained in the automated-pairing path
+                continue
+            assert _params_changed(ts0.params[name], ts2.params[name]), name
+
+    def test_unsupervised_step_runs(self):
+        conf = tiny_test_config("dafnet")
+        model = build_model(conf)
+        steps = make_steps(model, conf)
+        ts = create_train_state(model, conf, jax.random.PRNGKey(0))
+        batch = _tiny_batch(conf)
+        batch.pop("m2")
+        ts2, metrics = steps.step_unsupervised(ts, batch)
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_batch_stats_updated(self):
+        conf = tiny_test_config("dafnet")
+        model = build_model(conf)
+        steps = make_steps(model, conf)
+        ts = create_train_state(model, conf, jax.random.PRNGKey(0))
+        ts0 = create_train_state(model, conf, jax.random.PRNGKey(0))
+        ts2, _ = steps.step_supervised(ts, _tiny_batch(conf))
+        assert _params_changed(
+            ts0.model_state["batch_stats"], ts2.model_state["batch_stats"]
+        )
+
+
+class TestMMSDNetStep:
+    def test_gen_zreg_and_disc_steps(self):
+        conf = tiny_test_config("mmsdnet")
+        model = build_model(conf)
+        steps = make_steps(model, conf)
+        ts = create_train_state(model, conf, jax.random.PRNGKey(0))
+        batch = _tiny_batch(conf)
+        ts, m1 = steps.step_supervised(ts, batch)
+        assert np.isfinite(float(m1["rec_Z"]))
+        dbatch = {"dm": batch["dm"], "dx1": batch["dx1"], "dx2": batch["dx2"]}
+        ts, m2 = steps.step_discriminator(ts, dbatch)
+        assert np.isfinite(float(m2["dis_M"]))
+
+
+class TestSWA:
+    def test_tracks_live_before_start(self):
+        p = {"w": jnp.ones(3) * 5.0}
+        swa = {"w": jnp.zeros(3)}
+        out = swa_update(swa, p, jnp.asarray(10), 40)
+        np.testing.assert_allclose(out["w"], p["w"])
+
+    def test_running_mean_after_start(self):
+        # reference swa.py:27-34: at epoch e > start:
+        # swa <- (swa * (e - start) + live) / (e - start + 1)
+        swa = {"w": jnp.ones(2) * 2.0}
+        live = {"w": jnp.ones(2) * 8.0}
+        out = swa_update(swa, live, jnp.asarray(42), 40)
+        np.testing.assert_allclose(out["w"], (2 * 2.0 + 8.0) / 3.0)
+
+
+class TestEarlyStopping:
+    def test_stops_after_patience(self):
+        es = EarlyStopping("v", min_delta=0.01, patience=3)
+        assert not es.update(0, {"v": 1.0})
+        stopped = [es.update(i, {"v": 1.0}) for i in range(1, 5)]
+        assert stopped == [False, False, True, True]
+
+    def test_improvement_resets(self):
+        es = EarlyStopping("v", min_delta=0.01, patience=2)
+        es.update(0, {"v": 1.0})
+        es.update(1, {"v": 1.0})
+        assert not es.update(2, {"v": 0.5})
+        assert es.wait == 0
+
+
+@pytest.mark.slow
+class TestExecutorEndToEnd:
+    def _conf(self, model):
+        conf = tiny_test_config(model)
+        conf.dataset_name = "synthetic"
+        conf.test_dataset = "synthetic"
+        conf.epochs = 2
+        conf.steps_per_epoch = 2
+        conf.swa_start_epoch = 0
+        return conf
+
+    def test_dafnet_two_epochs(self, tmp_path):
+        conf = self._conf("dafnet")
+        conf.folder = str(tmp_path / "dafnet_tiny")
+        model = build_model(conf)
+        from multimodal_segmentation_tpu.train.executor import make_executor
+
+        ex = make_executor(conf, model)
+        ts = ex.train()
+        assert int(ts.step) == 4  # 2 epochs x 2 batches, one fused step each
+        assert os.path.exists(os.path.join(conf.folder, "training.csv"))
+        assert os.path.exists(os.path.join(conf.folder, "training_loss.png"))
+        assert os.path.exists(os.path.join(conf.folder, "models", "segmentor.npz"))
+
+    def test_mmsdnet_one_epoch_and_test(self, tmp_path):
+        conf = self._conf("mmsdnet")
+        conf.epochs = 1
+        conf.folder = str(tmp_path / "mmsdnet_tiny")
+        model = build_model(conf)
+        from multimodal_segmentation_tpu.train.executor import make_executor
+
+        ex = make_executor(conf, model)
+        ex.train()
+        ex.test()
+        res = os.path.join(
+            conf.folder, "test_results_synthetic_t1_simple", "results.csv"
+        )
+        assert os.path.exists(res)
+        with open(res) as f:
+            lines = f.read().strip().splitlines()
+        assert len(lines) == 4  # header + 3 test volumes
