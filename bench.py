@@ -1,0 +1,85 @@
+"""Benchmark: DAFNet fused train-step throughput (slices/sec/chip).
+
+Reference workload (BASELINE.md): the 18-output DAFNet expert-pairing
+trainer at batch 6, 192x192x1, plus both discriminator updates — i.e. one
+full training batch. The reference executes this as 5 Keras fits + ~16
+predicts with host round-trips per batch on a Titan-V
+(model_executors/dafnet_executor.py:369-583); here it is one XLA program.
+
+vs_baseline divides by an ANALYTIC Titan-V estimate (no measured number
+exists — the reference repo publishes none, BASELINE.md): ~6 slices/sec,
+from ~2.4 TFLOP of fwd+bwd work per 6-slice batch at ~35% of 14 TFLOP/s
+fp32 plus the multi-fit host overhead. The north-star target is 10x that
+(60 slices/sec/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TITAN_V_EST_SLICES_PER_SEC = 6.0
+
+
+def make_batch(conf, seed=0):
+    r = np.random.RandomState(seed)
+    B = conf.batch_size
+    H, W = conf.input_hw
+    nm = conf.num_masks
+    b = {
+        "x1": r.rand(B, H, W, 1) * 2 - 1,
+        "x2": r.rand(B, H, W, 1) * 2 - 1,
+        "m1": (r.rand(B, H, W, nm) > 0.8),
+        "m2": (r.rand(B, H, W, nm) > 0.8),
+        "dm1": (r.rand(B, H, W, nm) > 0.8),
+        "dm2": (r.rand(B, H, W, nm) > 0.8),
+        "dx1": r.rand(B, H, W, 1) * 2 - 1,
+        "dx2": r.rand(B, H, W, 1) * 2 - 1,
+    }
+    return {k: jnp.asarray(v, jnp.float32) for k, v in b.items()}
+
+
+def main():
+    from multimodal_segmentation_tpu.config import dafnet_chaos
+    from multimodal_segmentation_tpu.models import build_model
+    from multimodal_segmentation_tpu.train.state import create_train_state
+    from multimodal_segmentation_tpu.train.steps import make_steps
+
+    conf = dafnet_chaos()
+    model = build_model(conf)
+    steps = make_steps(model, conf)
+    ts = create_train_state(model, conf, jax.random.PRNGKey(0))
+    batch = make_batch(conf)
+
+    # compile + warmup
+    ts, _ = steps.step_supervised(ts, batch)
+    for _ in range(2):
+        ts, _ = steps.step_supervised(ts, batch)
+    jax.block_until_ready(ts.params)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ts, metrics = steps.step_supervised(ts, batch)
+    jax.block_until_ready(ts.params)
+    dt = time.perf_counter() - t0
+
+    slices_per_sec = iters * conf.batch_size / dt
+    print(
+        json.dumps(
+            {
+                "metric": "DAFNet fused train step (gen+3 disc updates), batch 6, 192^2",
+                "value": round(slices_per_sec, 2),
+                "unit": "slices/sec/chip",
+                "vs_baseline": round(slices_per_sec / TITAN_V_EST_SLICES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
