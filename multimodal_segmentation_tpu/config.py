@@ -74,6 +74,11 @@ class ExperimentConfig:
     # Optional cap on batches per epoch (None = full epoch like the
     # reference); used by smoke runs and tests.
     steps_per_epoch: int = 0
+    # Observability / debugging (SURVEY.md §5.1-5.2): write a
+    # jax.profiler trace for the given epoch range, and optionally enable
+    # jax_debug_nans in a debug run.
+    profile_epochs: Tuple[int, int] = (0, 0)   # (start, end), end=0 disables
+    debug_nans: bool = False
 
     anatomy_encoder: AnatomyEncoderConfig = dataclasses.field(
         default_factory=AnatomyEncoderConfig

@@ -100,6 +100,12 @@ class Experiment:
         init_logging(conf.folder)
         save_config(conf)
 
+        import jax
+
+        if conf.debug_nans:
+            # debug-config NaN guard (SURVEY.md §5.2)
+            jax.config.update("jax_debug_nans", True)
+
         from multimodal_segmentation_tpu.models import build_model
         from multimodal_segmentation_tpu.train.executor import make_executor
 

@@ -52,6 +52,21 @@ def rotate_batch(batch_imgs, thetas):
     return jax.vmap(_rotate_one)(batch_imgs, thetas)
 
 
+def random_brightness_contrast(rng, images, brightness=0.2, contrast=0.2):
+    """Per-sample brightness/contrast jitter.
+
+    On-device equivalent of the albumentations RandomBrightnessContrast the
+    reference applies in its image callbacks (utils/image_utils.py:100-110):
+    x' = x * (1 + c) + b with b ~ U(-brightness, brightness),
+    c ~ U(-contrast, contrast).
+    """
+    B = images.shape[0]
+    rb, rc = jax.random.split(rng)
+    b = jax.random.uniform(rb, (B, 1, 1, 1), minval=-brightness, maxval=brightness)
+    c = jax.random.uniform(rc, (B, 1, 1, 1), minval=-contrast, maxval=contrast)
+    return images * (1.0 + c) + b
+
+
 def random_rotate_batch(rng, arrays, rotation_range_deg=20.0):
     """Rotate every array in `arrays` by the SAME per-sample random angles.
 

@@ -206,13 +206,23 @@ class Executor:
             "val_loss_mod2_fused", conf.es_min_delta, conf.es_patience
         )
 
+        prof_start, prof_end = getattr(conf, "profile_epochs", (0, 0))
         for epoch in range(start_epoch, conf.epochs):
             t0 = time.time()
             ts = ts.replace(epoch=jnp.asarray(epoch, jnp.int32))
             epoch_metrics = {}
 
+            # jax.profiler trace window (SURVEY.md §5.1: the reference has
+            # no tracing at all; this writes a TensorBoard-compatible trace)
+            if prof_end and epoch == prof_start:
+                jax.profiler.start_trace(os.path.join(conf.folder, "profile"))
+
             for _ in range(self.batches):
                 ts = self.train_batch(ts, epoch_metrics)
+
+            if prof_end and epoch + 1 == prof_end:
+                jax.block_until_ready(ts.params)
+                jax.profiler.stop_trace()
 
             ts = self.on_epoch_end(ts, epoch)
 

@@ -19,3 +19,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite compiles several large fused
+# steps; caching makes repeat runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mmseg_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
