@@ -33,13 +33,7 @@ from multimodal_segmentation_tpu.data.containers import (
 
 log = logging.getLogger("chaos")
 
-try:
-    import pydicom  # type: ignore
-
-    HAVE_PYDICOM = True
-except ImportError:  # pragma: no cover - environment without pydicom
-    pydicom = None
-    HAVE_PYDICOM = False
+from multimodal_segmentation_tpu.data.dicom_native import read_dicom
 
 
 def resample_slices(stack, old_res, binary=False, new_res=1.89):
@@ -78,7 +72,9 @@ class ChaosLoader(Loader):
         self.modalities = ["t1", "t2"]
 
     def available(self):
-        return HAVE_PYDICOM and os.path.isdir(self.data_folder)
+        # DICOM decode works without pydicom via the native C++ reader
+        # (data/dicom_native.py); only the data folder is required.
+        return os.path.isdir(self.data_folder)
 
     def splits(self):
         # reference loaders/chaos.py:32-48
@@ -121,11 +117,9 @@ class ChaosLoader(Loader):
         image_files = sorted(
             os.listdir(image_folder), key=lambda x: x.split("-")[-1], reverse=True
         )
-        dcms = [pydicom.dcmread(os.path.join(image_folder, f)) for f in image_files]
-        images = np.stack(
-            [d.pixel_array.astype(np.float32) for d in dcms]
-        )[..., None]
-        res = [float(v) for v in dcms[0].PixelSpacing][:2]
+        dcms = [read_dicom(os.path.join(image_folder, f)) for f in image_files]
+        images = np.stack([d.image for d in dcms])[..., None]
+        res = list(dcms[0].resolution[:2])
 
         label_files = sorted(
             os.listdir(labels_folder), key=lambda x: x.split("-")[-1], reverse=True

@@ -18,7 +18,7 @@ def init_loader(name, **kwargs):
         if loader.available():
             return loader
         log.warning(
-            "CHAOS data/pydicom unavailable (%s); using synthetic fixture",
+            "CHAOS data folder unavailable (%s); using synthetic fixture",
             loader.data_folder,
         )
         from multimodal_segmentation_tpu.data.synthetic import SyntheticChaosLoader
