@@ -170,3 +170,30 @@ def ypred_loss(y_pred):
     """The reference's pass-through loss for in-graph losses: Keras reduces
     the returned tensor with a mean (costs.py:194-195)."""
     return jnp.mean(y_pred)
+
+
+def distance_correlation(a, b):
+    """Distance correlation between two sample matrices (numpy analysis
+    utility; costs.py:198-218 — defined there but unused by training)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    n = a.shape[0]
+    if b.shape[0] != n:
+        raise ValueError("Number of samples must match")
+
+    def _dist(x):
+        d = np.sqrt(
+            np.maximum(
+                np.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1), 0.0
+            )
+        )
+        return d
+
+    da = _dist(a)
+    db = _dist(b)
+    A = da - da.mean(axis=0)[None, :] - da.mean(axis=1)[:, None] + da.mean()
+    B = db - db.mean(axis=0)[None, :] - db.mean(axis=1)[:, None] + db.mean()
+    dcov2_xy = (A * B).sum() / float(n * n)
+    dcov2_xx = (A * A).sum() / float(n * n)
+    dcov2_yy = (B * B).sum() / float(n * n)
+    return np.sqrt(dcov2_xy) / np.sqrt(np.sqrt(dcov2_xx) * np.sqrt(dcov2_yy))

