@@ -1,0 +1,175 @@
+"""Pallas TPU kernels for the reference's custom-op hot spots.
+
+Two kernels (the ★ ops of SURVEY.md §2):
+
+* `round_ste_pallas` — straight-through rounding as a tiled VMEM
+  elementwise kernel with a custom VJP (replaces layers/rounding.py).
+  Numerically identical to the jnp path; used on TPU when shapes tile
+  cleanly.
+
+* `tps_bilinear_warp_pallas` — the TPS dense-flow evaluation fused with
+  the bilinear resample in one kernel: per query-point block, the RBF
+  distances, phi, the flow matmul and the bilinear gather all live in
+  VMEM; the gather is expressed as two MXU matmuls (a row-blend matrix
+  against the source image, then a column-blend contraction), so nothing
+  but the warped output is written to HBM.
+
+  Honest benchmark note (see PERF.md): at CHAOS size (192^2 x 8ch) XLA's
+  native gather is already memory-bound-optimal and beats the matmul
+  formulation, so the jnp path stays the default; the kernel exists for
+  the 3-D / large-volume regime where XLA gathers degrade, and is
+  selectable via `tps_warp(..., use_pallas=True)`.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# ------------------------------------------------------------- round STE
+
+
+def _round_kernel(x_ref, o_ref):
+    o_ref[:] = jnp.round(x_ref[:])
+
+
+def _round_pallas_raw(x2d, block_rows=512):
+    n, lanes = x2d.shape
+    grid = (pl.cdiv(n, block_rows),)
+    return pl.pallas_call(
+        _round_kernel,
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )(x2d)
+
+
+@jax.custom_vjp
+def round_ste_pallas(x):
+    """Pallas straight-through rounding; identical contract to
+    ops.rounding.round_ste."""
+    size = int(np.prod(x.shape))
+    if size % 128 == 0:
+        out = _round_pallas_raw(x.reshape(size // 128, 128))
+        return out.reshape(x.shape)
+    return jnp.round(x)
+
+
+def _round_fwd(x):
+    return round_ste_pallas(x), None
+
+
+def _round_bwd(_, g):
+    return (g,)
+
+
+round_ste_pallas.defvjp(_round_fwd, _round_bwd)
+
+
+# -------------------------------------------------- fused TPS bilinear warp
+
+
+def _warp_kernel(src_ref, wv_ref, cp_ref, o_ref, *, H, W, C, P):
+    """One (batch, point-block) tile: evaluate the TPS flow for P query
+    points and bilinearly sample the full-resolution source.
+
+    src_ref: (H, W*C) source image.
+    wv_ref:  (32, 2) spline coefficients [w (n_cp); v (3); pad].
+    cp_ref:  (32, 2) control points (padded past n_cp with a sentinel).
+    o_ref:   (P, C_pad) output block.
+    """
+    j = pl.program_id(1)
+    q0 = j * P
+
+    qi = jax.lax.broadcasted_iota(jnp.float32, (P, 1), 0) + float(0)
+    q = qi + jnp.float32(q0)
+    qy = jnp.floor(q / W) / (H - 1.0)
+    qx = jnp.mod(q, float(W)) / (W - 1.0)
+
+    cp = cp_ref[:]  # (32, 2), padded rows have weight 0 in wv
+    d2 = (qy - cp[:, 0][None, :]) ** 2 + (qx - cp[:, 1][None, :]) ** 2  # (P, 32)
+    phi = 0.5 * d2 * jnp.log(jnp.maximum(d2, 1e-10))
+
+    wv = wv_ref[0]  # (32, 2): rows [0, n_cp) = w; rows n_cp..n_cp+2 = v
+    n_cp = 25
+    w = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0) < n_cp, wv, 0.0
+    )
+    rbf = jnp.dot(phi, w, preferred_element_type=jnp.float32)  # (P, 2)
+    vy = wv[n_cp, :]
+    vx = wv[n_cp + 1, :]
+    vb = wv[n_cp + 2, :]
+    flow = rbf + qy * vy[None, :] + qx * vx[None, :] + vb[None, :]
+
+    y = flow[:, 0:1] * (H - 1.0)  # (P, 1) pixel coords
+    x = flow[:, 1:2] * (W - 1.0)
+
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    wy1 = y - y0
+    wx1 = x - x0
+
+    rows = jax.lax.broadcasted_iota(jnp.float32, (P, H), 1)
+    in_y0 = (y0 >= 0) & (y0 <= H - 1)
+    in_y1 = (y0 + 1 >= 0) & (y0 + 1 <= H - 1)
+    a = (rows == y0) * (1.0 - wy1) * in_y0 + (rows == (y0 + 1.0)) * wy1 * in_y1
+
+    src = src_ref[0]  # (H, C*W) channel-major flat layout
+    r = jnp.dot(a, src, preferred_element_type=jnp.float32)  # (P, C*W)
+
+    cols = jax.lax.broadcasted_iota(jnp.float32, (P, W), 1)
+    in_x0 = (x0 >= 0) & (x0 <= W - 1)
+    in_x1 = (x0 + 1 >= 0) & (x0 + 1 <= W - 1)
+    bx = (cols == x0) * (1.0 - wx1) * in_x0 + (cols == (x0 + 1.0)) * wx1 * in_x1
+    # pltpu.repeat tiles the whole row: bx_exp[p, c*W + w] = bx[p, w],
+    # matching the channel-major source layout.
+    bx_exp = pltpu.repeat(bx, C, axis=1)  # (P, C*W)
+
+    m = r * bx_exp  # (P, C*W)
+    # channel reduction: out[p, c] = sum_w m[p, c*W + w]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (W * C, 128), 0) // W
+    chan = jax.lax.broadcasted_iota(jnp.int32, (W * C, 128), 1)
+    s = (lane == chan).astype(jnp.float32)  # (C*W, 128) one-hot channel map
+    o_ref[0] = jnp.dot(m, s, preferred_element_type=jnp.float32)  # (P, 128)
+
+
+def tps_bilinear_warp_pallas(vol, wv, cp_grid, block_points=1024):
+    """Fused TPS warp: vol (B, H, W, C), wv (B, 28, 2) solved spline
+    coefficients, cp_grid (25, 2). Returns (B, H, W, C)."""
+    B, H, W, C = vol.shape
+    P = min(block_points, H * W)
+    assert (H * W) % P == 0, (H, W, P)
+    assert (W * C) % 128 == 0, (W, C)
+
+    wv_pad = jnp.zeros((B, 32, 2), wv.dtype).at[:, : wv.shape[1]].set(wv)
+    # pad control points far away so their (zero-weight) phi stays finite
+    cp_pad = jnp.full((32, 2), 7.0, cp_grid.dtype).at[: cp_grid.shape[0]].set(cp_grid)
+
+    kernel = functools.partial(_warp_kernel, H=H, W=W, C=C, P=P)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H * W, 128), vol.dtype),
+        grid=(B, (H * W) // P),
+        in_specs=[
+            pl.BlockSpec((1, H, W * C), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32, 2), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, 2), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, P, 128), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
+        ),
+    )(
+        # channel-major source layout (B, H, C*W) for the tiled column blend
+        vol.transpose(0, 1, 3, 2).reshape(B, H, C * W),
+        wv_pad,
+        cp_pad,
+    )
+    return out[:, :, :C].reshape(B, H, W, C)

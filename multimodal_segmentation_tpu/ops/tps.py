@@ -141,12 +141,32 @@ def tps_sample_locations(cp_offsets, vol_shape, cp_dims=(5, 5), inverse=False, o
     return locs * scale
 
 
-def tps_warp(vol, cp_offsets, cp_dims=(5, 5), inverse=False, order=2):
+def tps_coefficients(cp_offsets, cp_dims=(5, 5), inverse=False, order=2):
+    """Solve the batched TPS systems, returning stacked coefficients
+    (B, n_cp + 3, 2) = [w; v] for downstream flow evaluation."""
+    cp_grid = control_grid(list(cp_dims))
+
+    def one(offsets):
+        warped_cp = cp_grid + offsets
+        if inverse:
+            w, v = solve_tps(warped_cp, cp_grid, order)
+        else:
+            w, v = solve_tps(cp_grid, warped_cp, order)
+        return jnp.concatenate([w, v], axis=0)
+
+    return jax.vmap(one)(cp_offsets)
+
+
+def tps_warp(vol, cp_offsets, cp_dims=(5, 5), inverse=False, order=2,
+             use_pallas=False):
     """Warp a batch of images with a thin-plate-spline deformation.
 
     Args:
       vol: (B, H, W, C) images.
       cp_offsets: (B, n_cp, 2) control-point offsets (normalised, (y, x)).
+      use_pallas: route the fused flow+resample through the Pallas kernel
+        (ops/pallas_kernels.py; forward-only — training keeps the
+        differentiable jnp path).
 
     Returns:
       (B, H, W, C) warped images (zeros where sampling falls outside).
@@ -154,6 +174,14 @@ def tps_warp(vol, cp_offsets, cp_dims=(5, 5), inverse=False, order=2):
     Replaces reference layers/stn_spline.py:55-67 (ThinPlateSpline2D.call).
     """
     B, H, W, C = vol.shape
+    if use_pallas:
+        from multimodal_segmentation_tpu.ops.pallas_kernels import (
+            tps_bilinear_warp_pallas,
+        )
+
+        wv = tps_coefficients(cp_offsets, cp_dims, inverse, order)
+        cp_grid = control_grid(list(cp_dims))
+        return tps_bilinear_warp_pallas(vol, wv, cp_grid)
     locs = tps_sample_locations(cp_offsets, (H, W), cp_dims, inverse, order)
     warped = jax.vmap(bilinear_sample)(vol, locs)  # (B, H*W, C)
     return warped.reshape(B, H, W, C)

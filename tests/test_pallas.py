@@ -1,0 +1,72 @@
+"""Pallas kernel tests (interpreter mode on CPU; real-TPU validation lives
+in tools/bench_pallas.py, run on hardware)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from multimodal_segmentation_tpu.ops.pallas_kernels import (
+    round_ste_pallas,
+    tps_bilinear_warp_pallas,
+)
+from multimodal_segmentation_tpu.ops.tps import (
+    control_grid,
+    tps_coefficients,
+    tps_warp,
+)
+
+
+class TestRoundPallas:
+    def test_matches_jnp_round(self):
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(4, 16, 16, 8).astype(np.float32) * 2
+        )
+        with pltpu.force_tpu_interpret_mode():
+            out = round_ste_pallas(x)
+        np.testing.assert_allclose(np.asarray(out), np.round(np.asarray(x)))
+
+    def test_identity_gradient(self):
+        x = jnp.asarray(np.random.RandomState(1).rand(256).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            g = jax.grad(lambda v: jnp.sum(round_ste_pallas(v) * 3.0))(x)
+        np.testing.assert_allclose(np.asarray(g), 3.0)
+
+    def test_unaligned_shape_fallback(self):
+        x = jnp.asarray(np.random.RandomState(2).rand(7, 3).astype(np.float32))
+        out = round_ste_pallas(x)  # falls back to jnp, no pallas_call
+        np.testing.assert_allclose(np.asarray(out), np.round(np.asarray(x)))
+
+
+class TestWarpPallas:
+    def _setup(self, B=2, H=16, W=16, C=8, seed=3):
+        r = np.random.RandomState(seed)
+        vol = jnp.asarray(r.rand(B, H, W, C).astype(np.float32))
+        off = jnp.asarray((r.rand(B, 25, 2).astype(np.float32) - 0.5) * 0.05)
+        return vol, off
+
+    def test_matches_jnp_path(self):
+        vol, off = self._setup()
+        ref = np.asarray(tps_warp(vol, off))
+        wv = tps_coefficients(off)
+        cp = control_grid([5, 5])
+        with pltpu.force_tpu_interpret_mode():
+            out = tps_bilinear_warp_pallas(vol, wv, cp, block_points=128)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+    def test_identity_offsets(self):
+        vol, _ = self._setup()
+        off = jnp.zeros((2, 25, 2))
+        wv = tps_coefficients(off)
+        cp = control_grid([5, 5])
+        with pltpu.force_tpu_interpret_mode():
+            out = tps_bilinear_warp_pallas(vol, wv, cp, block_points=128)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(vol), atol=2e-3)
+
+    def test_use_pallas_flag_in_tps_warp(self):
+        vol, off = self._setup()
+        ref = np.asarray(tps_warp(vol, off))
+        with pltpu.force_tpu_interpret_mode():
+            out = tps_warp(vol, off, use_pallas=True)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
