@@ -89,7 +89,7 @@ def _warp_kernel(src_ref, wv_ref, cp_ref, o_ref, *, H, W, C, P):
     j = pl.program_id(1)
     q0 = j * P
 
-    qi = jax.lax.broadcasted_iota(jnp.float32, (P, 1), 0) + float(0)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0).astype(jnp.float32)
     q = qi + jnp.float32(q0)
     qy = jnp.floor(q / W) / (H - 1.0)
     qx = jnp.mod(q, float(W)) / (W - 1.0)
@@ -117,7 +117,7 @@ def _warp_kernel(src_ref, wv_ref, cp_ref, o_ref, *, H, W, C, P):
     wy1 = y - y0
     wx1 = x - x0
 
-    rows = jax.lax.broadcasted_iota(jnp.float32, (P, H), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (P, H), 1).astype(jnp.float32)
     in_y0 = (y0 >= 0) & (y0 <= H - 1)
     in_y1 = (y0 + 1 >= 0) & (y0 + 1 <= H - 1)
     a = (rows == y0) * (1.0 - wy1) * in_y0 + (rows == (y0 + 1.0)) * wy1 * in_y1
@@ -125,13 +125,16 @@ def _warp_kernel(src_ref, wv_ref, cp_ref, o_ref, *, H, W, C, P):
     src = src_ref[0]  # (H, C*W) channel-major flat layout
     r = jnp.dot(a, src, preferred_element_type=jnp.float32)  # (P, C*W)
 
-    cols = jax.lax.broadcasted_iota(jnp.float32, (P, W), 1)
+    # Column blend built directly at (P, C*W) width in the channel-major
+    # layout (r = c*W + w  =>  w = r mod W); avoids lane-repeat ops on
+    # non-128-aligned widths.
     in_x0 = (x0 >= 0) & (x0 <= W - 1)
     in_x1 = (x0 + 1 >= 0) & (x0 + 1 <= W - 1)
-    bx = (cols == x0) * (1.0 - wx1) * in_x0 + (cols == (x0 + 1.0)) * wx1 * in_x1
-    # pltpu.repeat tiles the whole row: bx_exp[p, c*W + w] = bx[p, w],
-    # matching the channel-major source layout.
-    bx_exp = pltpu.repeat(bx, C, axis=1)  # (P, C*W)
+    cw = jax.lax.broadcasted_iota(jnp.int32, (P, W * C), 1)
+    wpos = jnp.mod(cw, W).astype(jnp.float32)
+    bx_exp = (wpos == x0) * (1.0 - wx1) * in_x0 + (
+        wpos == (x0 + 1.0)
+    ) * wx1 * in_x1  # (P, C*W)
 
     m = r * bx_exp  # (P, C*W)
     # channel reduction: out[p, c] = sum_w m[p, c*W + w]

@@ -43,12 +43,13 @@ class _StepsBase:
 
     def _jit(self, fn):
         if self.mesh is not None:
-            repl = NamedSharding(self.mesh, P())
             data = NamedSharding(self.mesh, P("data"))
+            # in_shardings None for the TrainState: respect whatever layout
+            # it carries (replicated for pure DP; 'model'-sharded wide
+            # leaves under tensor parallelism, parallel/sharding.py).
             return jax.jit(
                 fn,
-                in_shardings=(repl, data),
-                out_shardings=(repl, repl),
+                in_shardings=(None, data),
                 donate_argnums=(0,),
             )
         return jax.jit(fn, donate_argnums=(0,))
