@@ -77,14 +77,18 @@ round_ste_pallas.defvjp(_round_fwd, _round_bwd)
 # -------------------------------------------------- fused TPS bilinear warp
 
 
-def _warp_kernel(src_ref, wv_ref, cp_ref, o_ref, *, H, W, C, P):
+def _warp_kernel(src_ref, w_ref, cp_ref, v_ref, o_ref, *, H, W, C, P):
     """One (batch, point-block) tile: evaluate the TPS flow for P query
     points and bilinearly sample the full-resolution source.
 
-    src_ref: (H, W*C) source image.
-    wv_ref:  (32, 2) spline coefficients [w (n_cp); v (3); pad].
-    cp_ref:  (32, 2) control points (padded past n_cp with a sentinel).
-    o_ref:   (P, C_pad) output block.
+    Layout choices avoid lane<->sublane transposes on tiny arrays:
+    src_ref: (1, H, C*W) channel-major source image (VMEM).
+    w_ref:   (1, 32, 2) RBF weights, rows >= n_cp zero-padded (VMEM).
+    cp_ref:  (2, 32) control points, lane-oriented: row0=y, row1=x (VMEM).
+    v_ref:   (1, 8) affine coefficients in SMEM:
+             [vyy, vyx, vyb, vxy, vxx, vxb, 0, 0] (flow_y = rbf_y +
+             qy*vyy + qx*vyx + vyb, flow_x likewise).
+    o_ref:   (1, P, 128) output block (first C lanes valid).
     """
     j = pl.program_id(1)
     q0 = j * P
@@ -94,23 +98,17 @@ def _warp_kernel(src_ref, wv_ref, cp_ref, o_ref, *, H, W, C, P):
     qy = jnp.floor(q / W) / (H - 1.0)
     qx = jnp.mod(q, float(W)) / (W - 1.0)
 
-    cp = cp_ref[:]  # (32, 2), padded rows have weight 0 in wv
-    d2 = (qy - cp[:, 0][None, :]) ** 2 + (qx - cp[:, 1][None, :]) ** 2  # (P, 32)
+    cpy = cp_ref[0:1, :]  # (1, 32) lane-oriented
+    cpx = cp_ref[1:2, :]
+    d2 = (qy - cpy) ** 2 + (qx - cpx) ** 2  # (P, 32)
     phi = 0.5 * d2 * jnp.log(jnp.maximum(d2, 1e-10))
 
-    wv = wv_ref[0]  # (32, 2): rows [0, n_cp) = w; rows n_cp..n_cp+2 = v
-    n_cp = 25
-    w = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0) < n_cp, wv, 0.0
-    )
-    rbf = jnp.dot(phi, w, preferred_element_type=jnp.float32)  # (P, 2)
-    vy = wv[n_cp, :]
-    vx = wv[n_cp + 1, :]
-    vb = wv[n_cp + 2, :]
-    flow = rbf + qy * vy[None, :] + qx * vx[None, :] + vb[None, :]
+    rbf = jnp.dot(phi, w_ref[0], preferred_element_type=jnp.float32)  # (P, 2)
+    flow_y = rbf[:, 0:1] + qy * v_ref[0, 0] + qx * v_ref[0, 1] + v_ref[0, 2]
+    flow_x = rbf[:, 1:2] + qy * v_ref[0, 3] + qx * v_ref[0, 4] + v_ref[0, 5]
 
-    y = flow[:, 0:1] * (H - 1.0)  # (P, 1) pixel coords
-    x = flow[:, 1:2] * (W - 1.0)
+    y = flow_y * (H - 1.0)  # (P, 1) pixel coords
+    x = flow_x * (W - 1.0)
 
     y0 = jnp.floor(y)
     x0 = jnp.floor(x)
@@ -152,9 +150,15 @@ def tps_bilinear_warp_pallas(vol, wv, cp_grid, block_points=1024):
     assert (H * W) % P == 0, (H, W, P)
     assert (W * C) % 128 == 0, (W, C)
 
-    wv_pad = jnp.zeros((B, 32, 2), wv.dtype).at[:, : wv.shape[1]].set(wv)
-    # pad control points far away so their (zero-weight) phi stays finite
-    cp_pad = jnp.full((32, 2), 7.0, cp_grid.dtype).at[: cp_grid.shape[0]].set(cp_grid)
+    n_cp = cp_grid.shape[0]
+    # RBF weight rows, zero-padded to 32 (sentinel cp rows contribute 0)
+    w_pad = jnp.zeros((B, 32, 2), wv.dtype).at[:, :n_cp].set(wv[:, :n_cp])
+    # affine terms as SMEM scalars: [vyy, vyx, vyb, vxy, vxx, vxb, 0, 0]
+    v = wv[:, n_cp : n_cp + 3]  # (B, 3, 2)
+    v_flat = jnp.concatenate([v[:, :, 0], v[:, :, 1]], axis=1)  # (B, 6)
+    v_flat = jnp.pad(v_flat, ((0, 0), (0, 2)))
+    # control points lane-oriented, sentinel 7.0 keeps phi finite
+    cp_t = jnp.full((2, 32), 7.0, cp_grid.dtype).at[:, :n_cp].set(cp_grid.T)
 
     kernel = functools.partial(_warp_kernel, H=H, W=W, C=C, P=P)
     out = pl.pallas_call(
@@ -164,7 +168,8 @@ def tps_bilinear_warp_pallas(vol, wv, cp_grid, block_points=1024):
         in_specs=[
             pl.BlockSpec((1, H, W * C), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 32, 2), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((32, 2), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 32), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda b, j: (b, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, P, 128), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
@@ -172,7 +177,8 @@ def tps_bilinear_warp_pallas(vol, wv, cp_grid, block_points=1024):
     )(
         # channel-major source layout (B, H, C*W) for the tiled column blend
         vol.transpose(0, 1, 3, 2).reshape(B, H, C * W),
-        wv_pad,
-        cp_pad,
+        w_pad,
+        cp_t,
+        v_flat,
     )
     return out[:, :, :C].reshape(B, H, W, C)
