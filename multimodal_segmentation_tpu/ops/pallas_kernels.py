@@ -85,7 +85,7 @@ def _warp_kernel(src_ref, w_ref, cp_ref, v_ref, o_ref, *, H, W, C, P):
     src_ref: (1, H, C*W) channel-major source image (VMEM).
     w_ref:   (1, 32, 2) RBF weights, rows >= n_cp zero-padded (VMEM).
     cp_ref:  (2, 32) control points, lane-oriented: row0=y, row1=x (VMEM).
-    v_ref:   (1, 8) affine coefficients in SMEM:
+    v_ref:   (1, 1, 8) affine coefficients in SMEM:
              [vyy, vyx, vyb, vxy, vxx, vxb, 0, 0] (flow_y = rbf_y +
              qy*vyy + qx*vyx + vyb, flow_x likewise).
     o_ref:   (1, P, 128) output block (first C lanes valid).
@@ -104,8 +104,8 @@ def _warp_kernel(src_ref, w_ref, cp_ref, v_ref, o_ref, *, H, W, C, P):
     phi = 0.5 * d2 * jnp.log(jnp.maximum(d2, 1e-10))
 
     rbf = jnp.dot(phi, w_ref[0], preferred_element_type=jnp.float32)  # (P, 2)
-    flow_y = rbf[:, 0:1] + qy * v_ref[0, 0] + qx * v_ref[0, 1] + v_ref[0, 2]
-    flow_x = rbf[:, 1:2] + qy * v_ref[0, 3] + qx * v_ref[0, 4] + v_ref[0, 5]
+    flow_y = rbf[:, 0:1] + qy * v_ref[0, 0, 0] + qx * v_ref[0, 0, 1] + v_ref[0, 0, 2]
+    flow_x = rbf[:, 1:2] + qy * v_ref[0, 0, 3] + qx * v_ref[0, 0, 4] + v_ref[0, 0, 5]
 
     y = flow_y * (H - 1.0)  # (P, 1) pixel coords
     x = flow_x * (W - 1.0)
@@ -156,7 +156,7 @@ def tps_bilinear_warp_pallas(vol, wv, cp_grid, block_points=1024):
     # affine terms as SMEM scalars: [vyy, vyx, vyb, vxy, vxx, vxb, 0, 0]
     v = wv[:, n_cp : n_cp + 3]  # (B, 3, 2)
     v_flat = jnp.concatenate([v[:, :, 0], v[:, :, 1]], axis=1)  # (B, 6)
-    v_flat = jnp.pad(v_flat, ((0, 0), (0, 2)))
+    v_flat = jnp.pad(v_flat, ((0, 0), (0, 2))).reshape(B, 1, 8)
     # control points lane-oriented, sentinel 7.0 keeps phi finite
     cp_t = jnp.full((2, 32), 7.0, cp_grid.dtype).at[:, :n_cp].set(cp_grid.T)
 
@@ -169,7 +169,7 @@ def tps_bilinear_warp_pallas(vol, wv, cp_grid, block_points=1024):
             pl.BlockSpec((1, H, W * C), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 32, 2), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 32), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda b, j: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8), lambda b, j: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, P, 128), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM

@@ -372,6 +372,43 @@ class DAFNetExecutor(Executor):
         # (dafnet_executor.py:286-301,319-335)
         return ts.swa_params, ts.model_state
 
+    def validate(self, ts):
+        logs = super().validate(ts)
+        if getattr(self.conf, "automatedpairing", False):
+            logs.update(self._validate_balancer_weights(ts))
+        return logs
+
+    def _validate_balancer_weights(self, ts):
+        """Mean balancer weight per candidate pair on the validation set
+        (dafnet_executor.py:356-367). Uses live weights like the reference."""
+        conf = self.conf
+        params, state = ts.params, ts.model_state
+        valid = self.loader.load_all_modalities_concatenated(
+            conf.split, "validation", conf.image_downsample
+        )
+        valid.crop(conf.input_hw)
+        valid.expand_pairs(conf.n_pairs - 1, 0, neighborhood=conf.n_pairs)
+        images0 = valid.get_images_modi(0)
+        images1 = jnp.asarray(valid.get_images_modi(1), jnp.float32)
+
+        s1_list = []
+        for i in range(images0.shape[-1]):
+            xi = jnp.asarray(images0[..., i : i + 1], jnp.float32)
+            s1, _, _ = self.model.components.apply(
+                "enc_anatomy", params, state, xi, method="encode1"
+            )
+            s1_list.append(s1)
+        s2, _, _ = self.model.components.apply(
+            "enc_anatomy", params, state, images1, method="encode2"
+        )
+        (w, _, _) = self.model.components.apply(
+            "balancer", params, state, s2, s1_list
+        )
+        w = np.asarray(w)
+        return {
+            "val_weight_%d" % j: float(w[:, j].mean()) for j in range(conf.n_pairs)
+        }
+
 
 class MMSDNetExecutor(Executor):
     """MMSDNet loop: generator(+Z-regressor) steps for the active paths,
