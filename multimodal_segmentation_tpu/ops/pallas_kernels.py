@@ -103,7 +103,8 @@ def _warp_kernel(src_ref, w_ref, cp_ref, v_ref, o_ref, *, H, W, C, P):
     d2 = (qy - cpy) ** 2 + (qx - cpx) ** 2  # (P, 32)
     phi = 0.5 * d2 * jnp.log(jnp.maximum(d2, 1e-10))
 
-    rbf = jnp.dot(phi, w_ref[0], preferred_element_type=jnp.float32)  # (P, 2)
+    rbf = jnp.dot(phi, w_ref[0], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)  # (P, 2)
     flow_y = rbf[:, 0:1] + qy * v_ref[0, 0, 0] + qx * v_ref[0, 0, 1] + v_ref[0, 0, 2]
     flow_x = rbf[:, 1:2] + qy * v_ref[0, 0, 3] + qx * v_ref[0, 0, 4] + v_ref[0, 0, 5]
 
@@ -121,7 +122,8 @@ def _warp_kernel(src_ref, w_ref, cp_ref, v_ref, o_ref, *, H, W, C, P):
     a = (rows == y0) * (1.0 - wy1) * in_y0 + (rows == (y0 + 1.0)) * wy1 * in_y1
 
     src = src_ref[0]  # (H, C*W) channel-major flat layout
-    r = jnp.dot(a, src, preferred_element_type=jnp.float32)  # (P, C*W)
+    r = jnp.dot(a, src, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (P, C*W)
 
     # Column blend built directly at (P, C*W) width in the channel-major
     # layout (r = c*W + w  =>  w = r mod W); avoids lane-repeat ops on
@@ -139,7 +141,8 @@ def _warp_kernel(src_ref, w_ref, cp_ref, v_ref, o_ref, *, H, W, C, P):
     lane = jax.lax.broadcasted_iota(jnp.int32, (W * C, 128), 0) // W
     chan = jax.lax.broadcasted_iota(jnp.int32, (W * C, 128), 1)
     s = (lane == chan).astype(jnp.float32)  # (C*W, 128) one-hot channel map
-    o_ref[0] = jnp.dot(m, s, preferred_element_type=jnp.float32)  # (P, 128)
+    o_ref[0] = jnp.dot(m, s, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # (P, 128)
 
 
 def tps_bilinear_warp_pallas(vol, wv, cp_grid, block_points=1024):

@@ -99,12 +99,17 @@ def solve_tps(train_points, train_values, order=2, regularization=0.0):
 
 
 def _interpolate(train_points, train_values, query_points, order=2):
-    """Evaluate the spline fitted to (train_points -> train_values) at query_points."""
+    """Evaluate the spline fitted to (train_points -> train_values) at query_points.
+
+    The RBF coefficients are large with heavy cancellation, so the flow
+    matmul runs at HIGHEST precision (full f32 on the TPU MXU) — default
+    bf16 passes cost ~0.7 px of flow error at 192^2.
+    """
     w, v = solve_tps(train_points, train_values, order)
     phi_q = _phi(_sq_dist(query_points, train_points), order)  # (m, n)
-    rbf = phi_q @ w
+    rbf = jnp.dot(phi_q, w, precision=jax.lax.Precision.HIGHEST)
     q_pad = jnp.concatenate([query_points, jnp.ones_like(query_points[:, :1])], axis=1)
-    return rbf + q_pad @ v
+    return rbf + jnp.dot(q_pad, v, precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
