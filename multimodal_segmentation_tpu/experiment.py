@@ -40,23 +40,30 @@ def build_config(args):
 
     conf = get_config(args.config)
     conf.split = int(args.split)
+    # folder naming parity with reference experiment.py:44-63:
+    # <folder>[_randomise][_automatedpairing]_l<l_mix>_<modalities>_split<N>
+    # with '.' stripped.
     folder = conf.folder
-    if args.l_mix is not None:
-        conf.l_mix = float(args.l_mix)
-        folder += "_lmix%s" % args.l_mix
-    if args.automatedpairing:
-        conf.automatedpairing = True
-        folder += "_automatedpairing"
-    if args.randomise:
+    if args.randomise or conf.randomise:
         conf.randomise = True
         folder += "_randomise"
+    if args.automatedpairing or conf.automatedpairing:
+        conf.automatedpairing = True
+        folder += "_automatedpairing"
+    l_mix = conf.l_mix
+    if args.l_mix is not None:
+        conf.l_mix = float(args.l_mix)
+        l_mix = args.l_mix
+    folder += "_l%g" % float(l_mix)
+    folder += "_" + str(list(conf.modality))
+    folder += "_split%s" % conf.split
+    folder = folder.replace(".", "")
     if args.test_dataset:
         conf.test_dataset = args.test_dataset
     if args.dataset:
         conf.dataset_name = args.dataset
     if args.epochs:
         conf.epochs = int(args.epochs)
-    folder += "_%s_split%d" % ("_".join(conf.modality), conf.split)
     conf.folder = folder
     return conf
 
