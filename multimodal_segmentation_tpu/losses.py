@@ -22,6 +22,12 @@ import numpy as np
 LAMBDA_BCE = 0.01  # costs.py:10
 
 
+def _f32(x):
+    """Losses always accumulate in f32 (inputs may be bf16 under mixed
+    precision)."""
+    return jnp.asarray(x, jnp.float32)
+
+
 # ---------------- evaluation (numpy, host-side) ----------------
 
 def dice_np(y_true, y_pred, binarise=False, smooth=1e-12):
@@ -41,6 +47,7 @@ def dice_np(y_true, y_pred, binarise=False, smooth=1e-12):
 
 def dice_coef_perbatch(y_true, y_pred, eps=1e-12):
     """Per-sample (1 - dice), shape (B,) (costs.py:43-48)."""
+    y_true, y_pred = _f32(y_true), _f32(y_pred)
     inter = jnp.sum(y_true * y_pred, axis=(1, 2, 3))
     union = jnp.sum(y_true, axis=(1, 2, 3)) + jnp.sum(y_pred, axis=(1, 2, 3))
     return 1.0 - (2.0 * inter + eps) / (union + eps)
@@ -126,12 +133,12 @@ def similarity_weighted_dice(weights, y_true, y_pred, restrict_chn, eps=1e-5):
 
 def mae(y_true, y_pred):
     """Mean absolute error (Keras 'mae')."""
-    return jnp.mean(jnp.abs(y_true - y_pred))
+    return jnp.mean(jnp.abs(_f32(y_true) - _f32(y_pred)))
 
 
 def mae_perbatch(y1, y2):
     """Per-sample MAE over H,W, shape (B, C) (costs.py:24-27)."""
-    return jnp.mean(jnp.abs(y1 - y2), axis=(1, 2))
+    return jnp.mean(jnp.abs(_f32(y1) - _f32(y2)), axis=(1, 2))
 
 
 def similarity_weighted_mae(weights, y_true, y_pred):
@@ -144,18 +151,20 @@ def similarity_weighted_mae(weights, y_true, y_pred):
 
 def mse(y_true, y_pred):
     """Mean squared error (Keras 'mse'): LSGAN objective."""
-    return jnp.mean(jnp.square(y_true - y_pred))
+    return jnp.mean(jnp.square(_f32(y_true) - _f32(y_pred)))
 
 
 def lsgan_fool(d_out):
     """Generator-side LSGAN: push D output toward 1 (executor target ones)."""
-    return jnp.mean(jnp.square(d_out - 1.0))
+    return jnp.mean(jnp.square(_f32(d_out) - 1.0))
 
 
 def lsgan_disc(d_real, d_fake):
     """Discriminator-side LSGAN: real->1, fake->0; losses summed like the
     Keras two-output trainer (models/mmsdnet.py:76)."""
-    return jnp.mean(jnp.square(d_real - 1.0)) + jnp.mean(jnp.square(d_fake))
+    return jnp.mean(jnp.square(_f32(d_real) - 1.0)) + jnp.mean(
+        jnp.square(_f32(d_fake))
+    )
 
 
 def kl_from_stats(z_mean, z_log_var):

@@ -44,6 +44,7 @@ class DAFNet:
     def __init__(self, conf):
         self.conf = conf
         ae = conf.anatomy_encoder
+        dtype = jnp.dtype(getattr(conf, "compute_dtype", "float32"))
         c = ComponentSet()
         c.add(
             "enc_anatomy",
@@ -53,29 +54,36 @@ class DAFNet:
                 norm=ae.normalise,
                 out_channels=ae.out_channels,
                 rounding=ae.rounding,
+                dtype=dtype,
             ),
         )
-        c.add("fuser", AnatomyFuser())
-        c.add("enc_modality", ModalityEncoder(conf.num_z))
-        c.add("segmentor", Segmentor(conf.num_masks))
-        c.add("decoder", Decoder(conf.decoder_type, conf.input_hw))
+        c.add("fuser", AnatomyFuser(dtype=dtype))
+        c.add("enc_modality", ModalityEncoder(conf.num_z, dtype=dtype))
+        c.add("segmentor", Segmentor(conf.num_masks, dtype=dtype))
+        c.add("decoder", Decoder(conf.decoder_type, conf.input_hw, dtype=dtype))
         c.add("balancer", Balancer(conf.n_pairs))
         c.add(
             "d_mask",
             Discriminator(
-                conf.d_mask_params.filters, conf.d_mask_params.downsample_blocks
+                conf.d_mask_params.filters,
+                conf.d_mask_params.downsample_blocks,
+                dtype=dtype,
             ),
         )
         c.add(
             "d_image1",
             Discriminator(
-                conf.d_image_params.filters, conf.d_image_params.downsample_blocks
+                conf.d_image_params.filters,
+                conf.d_image_params.downsample_blocks,
+                dtype=dtype,
             ),
         )
         c.add(
             "d_image2",
             Discriminator(
-                conf.d_image_params.filters, conf.d_image_params.downsample_blocks
+                conf.d_image_params.filters,
+                conf.d_image_params.downsample_blocks,
+                dtype=dtype,
             ),
         )
         self.components = c

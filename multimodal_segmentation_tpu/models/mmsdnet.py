@@ -40,6 +40,7 @@ class MMSDNet:
     def __init__(self, conf):
         self.conf = conf
         ae = conf.anatomy_encoder
+        dtype = jnp.dtype(getattr(conf, "compute_dtype", "float32"))
         c = ComponentSet()
         for name in ("enc_anatomy1", "enc_anatomy2"):
             c.add(
@@ -50,16 +51,19 @@ class MMSDNet:
                     norm=ae.normalise,
                     out_channels=ae.out_channels,
                     rounding=ae.rounding,
+                    dtype=dtype,
                 ),
             )
-        c.add("fuser", AnatomyFuser())
-        c.add("enc_modality", ModalityEncoder(conf.num_z))
-        c.add("segmentor", Segmentor(conf.num_masks))
-        c.add("decoder", Decoder(conf.decoder_type, conf.input_hw))
+        c.add("fuser", AnatomyFuser(dtype=dtype))
+        c.add("enc_modality", ModalityEncoder(conf.num_z, dtype=dtype))
+        c.add("segmentor", Segmentor(conf.num_masks, dtype=dtype))
+        c.add("decoder", Decoder(conf.decoder_type, conf.input_hw, dtype=dtype))
         c.add(
             "d_mask",
             Discriminator(
-                conf.d_mask_params.filters, conf.d_mask_params.downsample_blocks
+                conf.d_mask_params.filters,
+                conf.d_mask_params.downsample_blocks,
+                dtype=dtype,
             ),
         )
         self.components = c

@@ -8,6 +8,9 @@ Reference: model_components/anatomy_encoder.py.
   upsample path and the final 1x1 conv are shared between modalities.
 """
 
+from typing import Any
+
+import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_segmentation_tpu.nn.blocks import he_normal
@@ -23,16 +26,23 @@ class AnatomyEncoder(nn.Module):
     norm: str = "batch"
     out_channels: int = 8
     rounding: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x, skips = UNetDown(self.filters, self.downsample, self.norm)(x, train)
-        x = UNetBottleneck(self.filters, self.downsample, self.norm)(x, train)
-        x = UNetUp(self.filters, self.downsample, self.norm)(x, skips, train)
+        x = x.astype(self.dtype)
+        x, skips = UNetDown(self.filters, self.downsample, self.norm,
+                            self.dtype)(x, train)
+        x = UNetBottleneck(self.filters, self.downsample, self.norm,
+                           self.dtype)(x, train)
+        x = UNetUp(self.filters, self.downsample, self.norm,
+                   self.dtype)(x, skips, train)
         x = nn.Conv(
-            self.out_channels, (1, 1), padding="SAME", name="conv_anatomy"
+            self.out_channels, (1, 1), padding="SAME", name="conv_anatomy",
+            dtype=self.dtype,
         )(x)
-        s = nn.softmax(x, axis=-1)
+        # softmax in f32 for stability, output in compute dtype
+        s = nn.softmax(x.astype(jnp.float32), axis=-1).astype(self.dtype)
         if self.rounding:
             s = round_ste(s)
         return s
@@ -51,23 +61,27 @@ class DualAnatomyEncoder(nn.Module):
     norm: str = "batch"
     out_channels: int = 8
     rounding: bool = True
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.down1 = UNetDown(self.filters, self.downsample, self.norm)
-        self.down2 = UNetDown(self.filters, self.downsample, self.norm)
+        self.down1 = UNetDown(self.filters, self.downsample, self.norm, self.dtype)
+        self.down2 = UNetDown(self.filters, self.downsample, self.norm, self.dtype)
         self.shared_bottleneck = UNetBottleneck(
-            self.filters, self.downsample, self.norm
+            self.filters, self.downsample, self.norm, self.dtype
         )
-        self.shared_up = UNetUp(self.filters, self.downsample, self.norm)
+        self.shared_up = UNetUp(self.filters, self.downsample, self.norm, self.dtype)
         self.shared_out = nn.Conv(
-            self.out_channels, (1, 1), padding="SAME", name="conv_anatomy"
+            self.out_channels, (1, 1), padding="SAME", name="conv_anatomy",
+            dtype=self.dtype,
         )
 
     def _encode(self, down, x, train):
-        h, skips = down(x, train)
+        h, skips = down(x.astype(self.dtype), train)
         h = self.shared_bottleneck(h, train)
         h = self.shared_up(h, skips, train)
-        s = nn.softmax(self.shared_out(h), axis=-1)
+        s = nn.softmax(
+            self.shared_out(h).astype(jnp.float32), axis=-1
+        ).astype(self.dtype)
         if self.rounding:
             s = round_ste(s)
         return s

@@ -4,7 +4,7 @@ Reference semantics: models/unet.py:94-101 (conv_block) and
 utils/model_utils.py:6-24 (normalise / upsample_block).
 """
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -24,7 +24,8 @@ class InstanceNorm(nn.Module):
     """Per-sample, per-channel normalisation over spatial dims.
 
     Matches keras_contrib InstanceNormalization (utils/model_utils.py:3;
-    layers/spade.py:27 uses scale=False, center=False).
+    layers/spade.py:27 uses scale=False, center=False). Statistics always
+    compute in f32 regardless of the activation dtype.
     """
 
     epsilon: float = 1e-3
@@ -33,9 +34,11 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
         mean = jnp.mean(x, axis=(1, 2), keepdims=True)
         var = jnp.var(x, axis=(1, 2), keepdims=True)
-        y = (x - mean) / jnp.sqrt(var + self.epsilon)
+        y = ((x - mean) / jnp.sqrt(var + self.epsilon)).astype(in_dtype)
         c = x.shape[-1]
         if self.use_scale:
             y = y * self.param("scale", nn.initializers.ones, (c,))
@@ -56,9 +59,13 @@ class Norm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.kind == "batch":
-            return nn.BatchNorm(
-                use_running_average=not train, momentum=0.99, epsilon=1e-3
-            )(x)
+            # BN statistics in f32 even under bf16 activations
+            in_dtype = x.dtype
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=0.99, epsilon=1e-3,
+                dtype=jnp.float32,
+            )(x.astype(jnp.float32))
+            return y.astype(in_dtype)
         if self.kind == "instance":
             return InstanceNorm()(x)
         return x
@@ -69,13 +76,16 @@ class ConvBlock(nn.Module):
 
     filters: int
     norm: str = "batch"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.filters, (3, 3), padding="SAME", kernel_init=he_normal)(x)
+        x = nn.Conv(self.filters, (3, 3), padding="SAME", kernel_init=he_normal,
+                    dtype=self.dtype)(x)
         x = Norm(self.norm)(x, train)
         x = nn.relu(x)
-        x = nn.Conv(self.filters, (3, 3), padding="SAME", kernel_init=he_normal)(x)
+        x = nn.Conv(self.filters, (3, 3), padding="SAME", kernel_init=he_normal,
+                    dtype=self.dtype)(x)
         x = Norm(self.norm)(x, train)
         return nn.relu(x)
 
@@ -92,11 +102,13 @@ class UpsampleBlock(nn.Module):
     filters: int
     norm: str = "batch"
     activation: str = "relu"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = upsample2x(x)
-        x = nn.Conv(self.filters, (3, 3), padding="SAME", kernel_init=he_normal)(x)
+        x = nn.Conv(self.filters, (3, 3), padding="SAME", kernel_init=he_normal,
+                    dtype=self.dtype)(x)
         x = Norm(self.norm)(x, train)
         if self.activation == "relu":
             return nn.relu(x)

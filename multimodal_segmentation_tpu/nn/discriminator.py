@@ -12,6 +12,8 @@ gradient w.r.t. generator parameters, matching the reference where frozen
 discriminators contribute a constant regulariser term).
 """
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -26,6 +28,7 @@ class SpectralConv(nn.Module):
     features: int
     stride: int = 2
     alpha: float = 10.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -35,12 +38,12 @@ class SpectralConv(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         y = jax.lax.conv_general_dilated(
-            x,
-            kernel,
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
             window_strides=(self.stride, self.stride),
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + bias
+        ) + bias.astype(self.dtype)
 
         dim = 4 * 4 * in_ch
 
@@ -68,17 +71,20 @@ class Discriminator(nn.Module):
 
     filters: int = 64
     downsample_blocks: int = 3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.downsample_blocks > 1
         f = self.filters
         x = nn.Conv(f, (4, 4), strides=(2, 2), padding="VALID",
-                    kernel_init=he_normal)(x)
+                    kernel_init=he_normal, dtype=self.dtype)(x.astype(self.dtype))
         x = nn.leaky_relu(x, negative_slope=0.2)
         for i in range(self.downsample_blocks):
             stride = 1 if i == self.downsample_blocks - 1 else 2
-            x = SpectralConv(f * 2 * (2 ** i), stride=stride)(x)
+            x = SpectralConv(f * 2 * (2 ** i), stride=stride,
+                             dtype=self.dtype)(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
         x = x.reshape(x.shape[0], -1)
-        return nn.Dense(1)(x)
+        # LSGAN head in f32
+        return nn.Dense(1)(x.astype(jnp.float32))

@@ -5,6 +5,8 @@ Reference: model_components/anatomy_fuser.py:12-38 and
 layers/stn_spline.py:94-118 (build_locnet).
 """
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -20,18 +22,22 @@ class LocNet(nn.Module):
     """
 
     cp_points: int = 25
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, s1, s2, train: bool = False):
-        x = jnp.concatenate([s1, s2], axis=-1)
+        x = jnp.concatenate(
+            [s1.astype(self.dtype), s2.astype(self.dtype)], axis=-1
+        )
         for _ in range(2):
-            x = nn.Conv(20, (5, 5), padding="VALID")(x)
+            x = nn.Conv(20, (5, 5), padding="VALID", dtype=self.dtype)(x)
             x = leaky_relu(x)
             x = max_pool2(x)
-        x = nn.Conv(20, (5, 5), padding="VALID")(x)
+        x = nn.Conv(20, (5, 5), padding="VALID", dtype=self.dtype)(x)
         x = leaky_relu(x)
         x = x.reshape(x.shape[0], -1)
-        x = nn.tanh(nn.Dense(100)(x))
+        # offset head in f32: zero-init + sub-pixel offsets need range
+        x = nn.tanh(nn.Dense(100)(x.astype(jnp.float32)))
         theta = nn.Dense(
             self.cp_points * 2,
             kernel_init=nn.initializers.zeros,
@@ -44,12 +50,17 @@ class AnatomyFuser(nn.Module):
     """Deform s1 -> s2 space via TPS-STN; fuse with max (anatomy_fuser.py:28-33)."""
 
     cp_dims: tuple = (5, 5)
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.locnet = LocNet(self.cp_dims[0] * self.cp_dims[1])
+        self.locnet = LocNet(self.cp_dims[0] * self.cp_dims[1], self.dtype)
 
     def __call__(self, s1, s2, train: bool = False):
         theta = self.locnet(s1, s2, train)
-        s1_def = tps_warp(s1, theta, cp_dims=self.cp_dims)
+        # the TPS solve/warp is precision-sensitive: always f32
+        s1_def = tps_warp(
+            s1.astype(jnp.float32), theta.astype(jnp.float32),
+            cp_dims=self.cp_dims,
+        ).astype(s1.dtype)
         s_fused = jnp.maximum(s1_def, s2)
         return s1_def, s_fused

@@ -7,6 +7,8 @@ of utils/sdnet_utils.py:9-21); the KL divergence per sample matches
 costs.py:186-189.
 """
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -16,18 +18,23 @@ from multimodal_segmentation_tpu.nn.blocks import he_normal, leaky_relu
 
 class ModalityEncoder(nn.Module):
     num_z: int = 8
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, anatomy, image, train: bool = False, sample: bool = True):
-        x = jnp.concatenate([anatomy, image], axis=-1)
+        x = jnp.concatenate(
+            [anatomy.astype(self.dtype), image.astype(self.dtype)], axis=-1
+        )
         for f in (16, 32, 64, 128):
             # Keras Conv2D default padding is VALID (modality_encoder.py:35-43)
             x = nn.Conv(f, (3, 3), strides=(2, 2), padding="VALID",
-                        kernel_init=he_normal)(x)
+                        kernel_init=he_normal, dtype=self.dtype)(x)
             x = leaky_relu(x)
         x = x.reshape(x.shape[0], -1)
-        x = nn.Dense(32, kernel_init=he_normal)(x)
+        x = nn.Dense(32, kernel_init=he_normal, dtype=self.dtype)(x)
         x = leaky_relu(x)
+        # VAE heads in f32: exp(log_var) and the KL need the range
+        x = x.astype(jnp.float32)
         z_mean = nn.Dense(self.num_z, name="z_mean")(x)
         z_log_var = nn.Dense(self.num_z, name="z_log_var")(x)
 

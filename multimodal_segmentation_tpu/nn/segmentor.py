@@ -3,6 +3,9 @@
 Reference: model_components/segmentor.py:9-29.
 """
 
+from typing import Any
+
+import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_segmentation_tpu.nn.blocks import he_normal
@@ -10,16 +13,21 @@ from multimodal_segmentation_tpu.nn.blocks import he_normal
 
 class Segmentor(nn.Module):
     num_masks: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, s, train: bool = False):
-        x = nn.Conv(64, (3, 3), padding="SAME", kernel_init=he_normal)(s)
+        x = nn.Conv(64, (3, 3), padding="SAME", kernel_init=he_normal,
+                    dtype=self.dtype)(s.astype(self.dtype))
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3)(x)
-        x = nn.relu(x)
-        x = nn.Conv(64, (3, 3), padding="SAME", kernel_init=he_normal)(x)
+                         epsilon=1e-3, dtype=jnp.float32)(x.astype(jnp.float32))
+        x = nn.relu(x).astype(self.dtype)
+        x = nn.Conv(64, (3, 3), padding="SAME", kernel_init=he_normal,
+                    dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3)(x)
-        x = nn.relu(x)
-        x = nn.Conv(self.num_masks + 1, (1, 1), padding="SAME")(x)
-        return nn.softmax(x, axis=-1)
+                         epsilon=1e-3, dtype=jnp.float32)(x.astype(jnp.float32))
+        x = nn.relu(x).astype(self.dtype)
+        x = nn.Conv(self.num_masks + 1, (1, 1), padding="SAME",
+                    dtype=self.dtype)(x)
+        # softmax in f32: mask probabilities feed Dice/BCE losses
+        return nn.softmax(x.astype(jnp.float32), axis=-1)

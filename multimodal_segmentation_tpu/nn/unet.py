@@ -5,7 +5,9 @@ Split into Down / Up halves so the DAFNet dual-encoder variant
 shared bottleneck + upsample path) composes them with parameter sharing.
 """
 
-from typing import List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
+
+import jax.numpy as jnp
 
 from flax import linen as nn
 
@@ -19,6 +21,7 @@ class UNetDown(nn.Module):
     filters: int = 64
     downsample: int = 4
     norm: str = "batch"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -26,7 +29,7 @@ class UNetDown(nn.Module):
         skips = []
         f = self.filters
         for level in range(self.downsample):
-            s = ConvBlock(f * (2 ** level), self.norm)(x, train)
+            s = ConvBlock(f * (2 ** level), self.norm, self.dtype)(x, train)
             skips.append(s)
             x = max_pool2(s)
         return x, skips
@@ -38,11 +41,12 @@ class UNetBottleneck(nn.Module):
     filters: int = 64
     downsample: int = 4
     norm: str = "batch"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         flt = self.filters * (2 ** self.downsample)
-        return ConvBlock(flt, self.norm)(x, train)
+        return ConvBlock(flt, self.norm, self.dtype)(x, train)
 
 
 class UNetUp(nn.Module):
@@ -51,16 +55,16 @@ class UNetUp(nn.Module):
     filters: int = 64
     downsample: int = 4
     norm: str = "batch"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, skips: List, train: bool = False):
-        import jax.numpy as jnp
-
         for level in reversed(range(self.downsample)):
             f = self.filters * (2 ** level)
-            x = UpsampleBlock(f, self.norm, activation="linear")(x, train)
+            x = UpsampleBlock(f, self.norm, activation="linear",
+                              dtype=self.dtype)(x, train)
             x = jnp.concatenate([x, skips[level]], axis=-1)
-            x = ConvBlock(f, self.norm)(x, train)
+            x = ConvBlock(f, self.norm, self.dtype)(x, train)
         return x
 
 
