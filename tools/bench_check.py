@@ -8,6 +8,8 @@ from multimodal_segmentation_tpu.train.steps import make_steps
 from bench import make_batch
 
 conf = dafnet_chaos()
+conf.compute_dtype = os.environ.get("MMSEG_BENCH_DTYPE", "float32")
+print("compute_dtype:", conf.compute_dtype)
 model = build_model(conf)
 steps = make_steps(model, conf)
 ts = create_train_state(model, conf, jax.random.PRNGKey(0))
