@@ -74,6 +74,30 @@ class TestAutomatedPairing:
 
 @pytest.mark.slow
 class TestResume:
+    def test_restored_state_predicts_identically(self, tmp_path):
+        import jax.numpy as jnp
+        import numpy as np
+
+        conf = _conf()
+        conf.folder = str(tmp_path / "roundtrip")
+        model = build_model(conf)
+        ex = make_executor(conf, model)
+        ts = ex.train()
+
+        H, W = conf.input_hw
+        imgs = [jnp.zeros((2, H, W, 1)), jnp.ones((2, H, W, 1)) * 0.3]
+        before = np.asarray(
+            model.predict_mask(ts.params, ts.model_state, 1, "max", imgs)
+        )
+
+        ex2 = make_executor(conf, build_model(conf))
+        ts2, start = ex2.create_state()
+        assert start == 1
+        after = np.asarray(
+            model.predict_mask(ts2.params, ts2.model_state, 1, "max", imgs)
+        )
+        np.testing.assert_allclose(before, after, atol=1e-6)
+
     def test_checkpoint_resume_continues_epochs(self, tmp_path):
         conf = _conf()
         conf.folder = str(tmp_path / "resume")
