@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _round_kernel(x_ref, o_ref):
-    o_ref[:] = jnp.round(x_ref[:])
+    # round in f32: Mosaic has no bf16 roundeven lowering
+    o_ref[:] = jnp.round(x_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
 
 
 def _round_pallas_raw(x2d, block_rows=512):
