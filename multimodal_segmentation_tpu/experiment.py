@@ -31,6 +31,11 @@ def read_console_parameters(argv=None):
     parser.add_argument("--test_dataset", help="Override test dataset")
     parser.add_argument("--epochs", help="Override number of epochs")
     parser.add_argument("--dataset", help="Override training dataset")
+    parser.add_argument(
+        "--compute_dtype",
+        help="Activation dtype: float32 (default) or bfloat16",
+        choices=["float32", "bfloat16"],
+    )
     return parser.parse_args(argv)
 
 
@@ -64,6 +69,8 @@ def build_config(args):
         conf.dataset_name = args.dataset
     if args.epochs:
         conf.epochs = int(args.epochs)
+    if args.compute_dtype:
+        conf.compute_dtype = args.compute_dtype
     conf.folder = folder
     return conf
 
