@@ -47,7 +47,10 @@ def build_config(args):
     conf.split = int(args.split)
     # folder naming parity with reference experiment.py:44-63:
     # <folder>[_randomise][_automatedpairing]_l<l_mix>_<modalities>_split<N>
-    # with '.' stripped.
+    # with '.' stripped. DEVIATION: the reference renders the modality list
+    # as str(['t1','t2']) — brackets/quotes in the path break
+    # orbax/tensorstore checkpoint RESTORE (save works, restore cannot open
+    # the OCDBT store), so modalities render as t1_t2 here.
     folder = conf.folder
     if args.randomise or conf.randomise:
         conf.randomise = True
@@ -60,7 +63,7 @@ def build_config(args):
         conf.l_mix = float(args.l_mix)
         l_mix = args.l_mix
     folder += "_l%g" % float(l_mix)
-    folder += "_" + str(list(conf.modality))
+    folder += "_" + "_".join(conf.modality)
     folder += "_split%s" % conf.split
     folder = folder.replace(".", "")
     if args.test_dataset:

@@ -20,7 +20,9 @@ class TestCLI:
             ["--config", "dafnet_config_chaos", "--split", "0", "--l_mix", "0.5"]
         )
         conf = build_config(args)
-        assert conf.folder == "dafnet_chaos_l05_['t1', 't2']_split0"
+        # modalities render as t1_t2 (not str(list)): bracket/quote chars
+        # in paths break orbax/tensorstore restore (see build_config)
+        assert conf.folder == "dafnet_chaos_l05_t1_t2_split0"
         assert conf.l_mix == 0.5
 
     def test_automated_and_randomise_flags(self):
@@ -33,7 +35,7 @@ class TestCLI:
         conf = build_config(args)
         assert conf.automatedpairing and conf.randomise
         assert conf.folder == (
-            "dafnet_chaos_randomise_automatedpairing_l1_['t1', 't2']_split1"
+            "dafnet_chaos_randomise_automatedpairing_l1_t1_t2_split1"
         )
 
     def test_presets_resolve(self):
@@ -69,3 +71,12 @@ class TestCLI:
         )
         conf = build_config(args)
         assert conf.test_dataset == "synthetic"
+
+
+    def test_folder_name_is_checkpoint_safe(self):
+        # orbax/tensorstore cannot restore from paths containing [ ] ' "
+        args = read_console_parameters(
+            ["--config", "dafnet_spade_config_chaos", "--split", "2"]
+        )
+        conf = build_config(args)
+        assert not any(c in conf.folder for c in "[]'\""), conf.folder
