@@ -74,3 +74,35 @@ def halo_conv2d(x, kernel, mesh: Mesh, axis: str = "space"):
         in_specs=(P(None, axis, None, None), P()),
         out_specs=P(None, axis, None, None),
     )(x, kernel)
+
+
+def halo_conv3d(x, kernel, mesh: Mesh, axis: str = "space"):
+    """SAME conv3d with the depth (D) axis sharded over `axis`.
+
+    The building block for the 3-D stretch models (BASELINE.json config 5):
+    volumes too large for one chip shard their slice axis across the mesh;
+    each shard exchanges `kd//2` boundary slices with its ICI neighbours.
+
+    x: (B, D, H, W, C) with D divisible by mesh.shape[axis];
+    kernel: (kd, kh, kw, C_in, C_out), odd kd/kh/kw.
+    """
+    kd, kh, kw = kernel.shape[:3]
+    assert kd % 2 == 1 and kh % 2 == 1 and kw % 2 == 1, "odd kernels only"
+    halo = kd // 2
+
+    def local(x_blk, k):
+        xp = _exchange_halos(x_blk, halo, axis) if halo else x_blk
+        return jax.lax.conv_general_dilated(
+            xp,
+            k,
+            window_strides=(1, 1, 1),
+            padding=((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis, None, None, None), P()),
+        out_specs=P(None, axis, None, None, None),
+    )(x, kernel)

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from multimodal_segmentation_tpu.parallel.halo import halo_conv2d
+from multimodal_segmentation_tpu.parallel.halo import halo_conv2d, halo_conv3d
 
 
 def _ref_conv(x, k):
@@ -40,6 +40,21 @@ class TestHaloConv:
         xs = jax.device_put(x, NamedSharding(mesh, P(None, "space", None, None)))
         out = halo_conv2d(xs, k, mesh)
         assert len(out.sharding.device_set) == 4
+
+    def test_conv3d_matches_unsharded(self):
+        r = np.random.RandomState(5)
+        x = jnp.asarray(r.rand(1, 16, 8, 8, 3).astype(np.float32))
+        k = jnp.asarray(r.rand(3, 3, 3, 3, 4).astype(np.float32))
+        mesh = self._mesh()
+        xs = jax.device_put(
+            x, NamedSharding(mesh, P(None, "space", None, None, None))
+        )
+        out = halo_conv3d(xs, k, mesh)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1, 1), ((1, 1), (1, 1), (1, 1)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
     def test_jit_and_grad(self):
         r = np.random.RandomState(1)

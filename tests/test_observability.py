@@ -1,0 +1,54 @@
+"""Observability subsystem tests: loss logger artifacts, profiler trace."""
+
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_segmentation_tpu.utils.observability import (
+    LossLogger,
+    save_image_grid,
+)
+
+
+class TestLossLogger:
+    def test_csv_and_plots(self, tmp_path):
+        lg = LossLogger(str(tmp_path))
+        lg.on_epoch_end(0, {"loss": 1.0, "dis_M": 0.5, "adv_M": 0.4})
+        lg.on_epoch_end(1, {"loss": 0.8, "dis_M": 0.6, "adv_M": 0.3})
+        csv = open(tmp_path / "training.csv").read().strip().splitlines()
+        assert csv[0] == "epoch,adv_M,dis_M,loss"
+        assert len(csv) == 3
+        assert os.path.exists(tmp_path / "training_loss.png")
+        assert os.path.exists(tmp_path / "training_discr_loss.png")
+
+    def test_image_grid(self, tmp_path):
+        rows = [[np.random.rand(8, 8) for _ in range(3)] for _ in range(2)]
+        p = str(tmp_path / "grid.png")
+        save_image_grid(p, rows)
+        assert os.path.exists(p)
+
+
+@pytest.mark.slow
+class TestProfilerTrace:
+    def test_profile_epochs_writes_trace(self, tmp_path):
+        from multimodal_segmentation_tpu.config import tiny_test_config
+        from multimodal_segmentation_tpu.models import build_model
+        from multimodal_segmentation_tpu.train.executor import make_executor
+
+        conf = tiny_test_config("mmsdnet")
+        conf.dataset_name = "synthetic"
+        conf.test_dataset = "synthetic"
+        conf.epochs = 1
+        conf.steps_per_epoch = 1
+        conf.profile_epochs = (0, 1)
+        conf.folder = str(tmp_path / "prof")
+        ex = make_executor(conf, build_model(conf))
+        ex.train()
+        trace_dir = os.path.join(conf.folder, "profile")
+        assert os.path.isdir(trace_dir)
+        # a plugins/profile/<ts>/*.trace.json.gz (or xplane) should exist
+        found = []
+        for root, _, files in os.walk(trace_dir):
+            found += files
+        assert found, "no trace files written"
