@@ -6,6 +6,13 @@ full training batch. The reference executes this as 5 Keras fits + ~16
 predicts with host round-trips per batch on a Titan-V
 (model_executors/dafnet_executor.py:369-583); here it is one XLA program.
 
+Timing method: the step is run N1 and N2 times INSIDE one jitted
+lax.scan (a single dispatch each) and the difference (N2-N1 steps) is
+timed, with a forced host read of the final loss. On remote-dispatch
+backends (axon tunnel), naive per-call timing with block_until_ready
+measures dispatch pipelining, not device compute — this method is immune
+to that (it over-counts nothing and hides nothing).
+
 vs_baseline divides by an ANALYTIC Titan-V estimate (no measured number
 exists — the reference repo publishes none, BASELINE.md): ~6 slices/sec,
 from ~2.4 TFLOP of fwd+bwd work per 6-slice batch at ~35% of 14 TFLOP/s
@@ -43,6 +50,31 @@ def make_batch(conf, seed=0):
     return {k: jnp.asarray(v, jnp.float32) for k, v in b.items()}
 
 
+def measure_step_ms(steps, ts, batch, n1=2, n2=12):
+    """Scan-differenced on-device step time (ms)."""
+
+    def make(n):
+        @jax.jit
+        def many(ts, batch):
+            def body(ts, _):
+                ts, m = steps._step(ts, batch, supervised=True, automated=False)
+                return ts, m["loss"]
+
+            ts, losses = jax.lax.scan(body, ts, None, length=n)
+            return losses[-1]
+
+        return many
+
+    res = {}
+    for n in (n1, n2):
+        f = make(n)
+        float(np.asarray(f(ts, batch)))  # compile + warm
+        t0 = time.perf_counter()
+        float(np.asarray(f(ts, batch)))  # forced host read
+        res[n] = time.perf_counter() - t0
+    return (res[n2] - res[n1]) / (n2 - n1) * 1e3
+
+
 def main():
     from multimodal_segmentation_tpu.config import dafnet_chaos
     from multimodal_segmentation_tpu.models import build_model
@@ -55,24 +87,12 @@ def main():
     ts = create_train_state(model, conf, jax.random.PRNGKey(0))
     batch = make_batch(conf)
 
-    # compile + warmup
-    ts, _ = steps.step_supervised(ts, batch)
-    for _ in range(2):
-        ts, _ = steps.step_supervised(ts, batch)
-    jax.block_until_ready(ts.params)
-
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        ts, metrics = steps.step_supervised(ts, batch)
-    jax.block_until_ready(ts.params)
-    dt = time.perf_counter() - t0
-
-    slices_per_sec = iters * conf.batch_size / dt
+    ms = measure_step_ms(steps, ts, batch)
+    slices_per_sec = conf.batch_size / (ms / 1e3)
     print(
         json.dumps(
             {
-                "metric": "DAFNet fused train step (gen+3 disc updates), batch 6, 192^2",
+                "metric": "DAFNet fused train step (gen+3 disc updates), batch 6, 192^2, f32, scan-timed on-device",
                 "value": round(slices_per_sec, 2),
                 "unit": "slices/sec/chip",
                 "vs_baseline": round(slices_per_sec / TITAN_V_EST_SLICES_PER_SEC, 2),
