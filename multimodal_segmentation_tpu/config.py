@@ -79,6 +79,12 @@ class ExperimentConfig:
     # jax_debug_nans in a debug run.
     profile_epochs: Tuple[int, int] = (0, 0)   # (start, end), end=0 disables
     debug_nans: bool = False
+    # Volumetric stretch path (BASELINE.json configs[4]; models/volumetric.py):
+    # (D, H, W, sequences) per study and the 3-D UNet width/depth. Unused by
+    # the 2-D CHAOS presets.
+    volume_shape: Tuple[int, int, int, int] = (16, 128, 128, 3)
+    filters3d: int = 16
+    downsample3d: int = 3
 
     anatomy_encoder: AnatomyEncoderConfig = dataclasses.field(
         default_factory=AnatomyEncoderConfig
@@ -126,14 +132,41 @@ def dafnet_spade_chaos() -> ExperimentConfig:
     )
 
 
+def cardiac_3d() -> ExperimentConfig:
+    """Multi-sequence cardiac 3-D stretch (BASELINE.json configs[4]).
+
+    No reference counterpart; trains models/volumetric.py's 3-D UNet on
+    (16, 128, 128, 3) LGE+bSSFP+T2 volumes with the slice axis shardable
+    over the 'space' mesh axis.
+    """
+    return ExperimentConfig(
+        folder="cardiac_3d",
+        model="cardiac3d",
+        executor="cardiac3d",
+        dataset_name="cardiac",
+        test_dataset="cardiac",
+        modality=("lge", "bssfp", "t2"),
+        batch_size=2,
+        epochs=100,
+        num_masks=3,
+        input_shape=(128, 128, 3),
+        volume_shape=(16, 128, 128, 3),
+        filters3d=16,
+        downsample3d=3,
+        rotation_range=0.0,
+    )
+
+
 PRESETS = {
     "mmsdnet_config_chaos": mmsdnet_chaos,
     "dafnet_config_chaos": dafnet_chaos,
     "dafnet_spade_config_chaos": dafnet_spade_chaos,
+    "cardiac_3d_config": cardiac_3d,
     # short aliases
     "mmsdnet_chaos": mmsdnet_chaos,
     "dafnet_chaos": dafnet_chaos,
     "dafnet_spade_chaos": dafnet_spade_chaos,
+    "cardiac_3d": cardiac_3d,
 }
 
 

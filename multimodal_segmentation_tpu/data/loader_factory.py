@@ -28,4 +28,8 @@ def init_loader(name, **kwargs):
         from multimodal_segmentation_tpu.data.synthetic import SyntheticChaosLoader
 
         return SyntheticChaosLoader(**kwargs)
+    if name == "cardiac":
+        from multimodal_segmentation_tpu.data.cardiac import CardiacVolumeLoader
+
+        return CardiacVolumeLoader(**kwargs)
     raise ValueError("Unknown loader: %s" % name)

@@ -126,6 +126,18 @@ class Experiment:
         from multimodal_segmentation_tpu.models import build_model
         from multimodal_segmentation_tpu.train.executor import make_executor
 
+        if conf.model == "cardiac3d":
+            # volumetric stretch family (models/volumetric.py)
+            from multimodal_segmentation_tpu.models.volumetric import (
+                Cardiac3DExecutor,
+            )
+
+            executor = Cardiac3DExecutor(conf)
+            if not args.test:
+                executor.train()
+            executor.test()
+            return
+
         model = build_model(conf)
         executor = make_executor(conf, model)
         if not args.test:
