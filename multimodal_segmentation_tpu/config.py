@@ -153,7 +153,7 @@ def cardiac_3d() -> ExperimentConfig:
         volume_shape=(16, 128, 128, 3),
         filters3d=16,
         downsample3d=3,
-        rotation_range=0.0,
+        rotation_range=15.0,  # in-plane, per-study (ops/augment.py)
     )
 
 

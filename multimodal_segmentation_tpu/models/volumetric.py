@@ -92,7 +92,15 @@ class Cardiac3DSegmenter:
         return loss, pred
 
     def _make_step(self):
-        def step(params, opt_state, volumes, masks):
+        def step(params, opt_state, volumes, masks, rng):
+            if self.conf.rotation_range > 0:
+                from multimodal_segmentation_tpu.ops.augment import (
+                    random_rotate_volumes,
+                )
+
+                volumes, masks = random_rotate_volumes(
+                    rng, volumes, masks, self.conf.rotation_range
+                )
             (loss, _), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
                 params, volumes, masks
             )
@@ -102,13 +110,20 @@ class Cardiac3DSegmenter:
 
         if self.mesh is not None:
             data = self._volume_sharding()
-            self.step = jax.jit(
+            self._step = jax.jit(
                 step,
-                in_shardings=(None, None, data, data),
+                in_shardings=(None, None, data, data, None),
                 donate_argnums=(0, 1),
             )
         else:
-            self.step = jax.jit(step, donate_argnums=(0, 1))
+            self._step = jax.jit(step, donate_argnums=(0, 1))
+        self._step_count = 0
+
+    def step(self, params, opt_state, volumes, masks, rng=None):
+        if rng is None:
+            rng = jax.random.fold_in(jax.random.PRNGKey(0), self._step_count)
+            self._step_count += 1
+        return self._step(params, opt_state, volumes, masks, rng)
 
     # ---- inference / evaluation ----
 
@@ -228,7 +243,9 @@ def train_cardiac3d(conf, mesh=None, epochs=None, seed=0, log_every=0):
 
     B = conf.batch_size
     rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
     history = []
+    step_i = 0
     for epoch in range(epochs or conf.epochs):
         order = rng.permutation(xs.shape[0])
         n = (xs.shape[0] // B) * B
@@ -238,7 +255,10 @@ def train_cardiac3d(conf, mesh=None, epochs=None, seed=0, log_every=0):
             vb, mb = model.shard_batch(
                 (jnp.asarray(xs[idx]), jnp.asarray(ys[idx]))
             )
-            params, opt_state, loss = model.step(params, opt_state, vb, mb)
+            params, opt_state, loss = model.step(
+                params, opt_state, vb, mb, jax.random.fold_in(key, step_i)
+            )
+            step_i += 1
             losses.append(loss)
         val_dice = model.evaluate(params, xv, yv, batch=B)
         history.append(

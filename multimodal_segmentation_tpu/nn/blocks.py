@@ -6,6 +6,7 @@ utils/model_utils.py:6-24 (normalise / upsample_block).
 
 from typing import Any, Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -35,15 +36,21 @@ class InstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_dtype = x.dtype
-        x = x.astype(jnp.float32)
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
-        y = ((x - mean) / jnp.sqrt(var + self.epsilon)).astype(in_dtype)
+        # Statistics in f32 via reduction inputs only (the f32 cast feeds
+        # reductions, so XLA fuses it without materialising an f32 copy of
+        # the activation); the normalised output stays in the input dtype,
+        # which is what keeps activation HBM traffic bf16 under mixed
+        # precision.
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+        inv = jax.lax.rsqrt(var + self.epsilon).astype(in_dtype)
+        y = (x - mean.astype(in_dtype)) * inv
         c = x.shape[-1]
         if self.use_scale:
-            y = y * self.param("scale", nn.initializers.ones, (c,))
+            y = y * self.param("scale", nn.initializers.ones, (c,)).astype(in_dtype)
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (c,))
+            y = y + self.param("bias", nn.initializers.zeros, (c,)).astype(in_dtype)
         return y
 
 
@@ -59,13 +66,14 @@ class Norm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.kind == "batch":
-            # BN statistics in f32 even under bf16 activations
-            in_dtype = x.dtype
-            y = nn.BatchNorm(
+            # BN batch statistics, running stats and scale/bias params stay
+            # f32 (flax computes stats in f32 for low-precision inputs);
+            # the normalised activation itself stays in the input dtype so
+            # bf16 runs do not round-trip f32 tensors through HBM.
+            return nn.BatchNorm(
                 use_running_average=not train, momentum=0.99, epsilon=1e-3,
-                dtype=jnp.float32,
-            )(x.astype(jnp.float32))
-            return y.astype(in_dtype)
+                dtype=x.dtype,
+            )(x)
         if self.kind == "instance":
             return InstanceNorm()(x)
         return x
@@ -118,4 +126,18 @@ class UpsampleBlock(nn.Module):
 
 
 def max_pool2(x):
-    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+    """2x2/stride-2 max pooling via reshape + reduce-max.
+
+    Same forward as Keras MaxPooling2D for even H,W, but the backward of a
+    reduce-max is a fused elementwise compare (gradient split evenly across
+    exact ties), whereas a windowed `nn.max_pool` lowers its gradient to
+    XLA select-and-scatter, which is a major serial bottleneck on TPU for
+    these bandwidth-bound UNet steps. Ties only occur at exactly-equal
+    activations (post-ReLU zeros), where the even split is as valid a
+    subgradient as the reference's single-winner choice.
+    """
+    b, h, w, c = x.shape
+    if h % 2 or w % 2:
+        return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+    xr = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.max(xr, axis=(2, 4))

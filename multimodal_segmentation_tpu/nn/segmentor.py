@@ -17,16 +17,18 @@ class Segmentor(nn.Module):
 
     @nn.compact
     def __call__(self, s, train: bool = False):
+        # BN stats/params stay f32 (flax computes low-precision stats in
+        # f32); activations stay in compute dtype to avoid f32 HBM traffic.
         x = nn.Conv(64, (3, 3), padding="SAME", kernel_init=he_normal,
                     dtype=self.dtype)(s.astype(self.dtype))
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, dtype=jnp.float32)(x.astype(jnp.float32))
-        x = nn.relu(x).astype(self.dtype)
+                         epsilon=1e-3, dtype=self.dtype)(x)
+        x = nn.relu(x)
         x = nn.Conv(64, (3, 3), padding="SAME", kernel_init=he_normal,
                     dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, dtype=jnp.float32)(x.astype(jnp.float32))
-        x = nn.relu(x).astype(self.dtype)
+                         epsilon=1e-3, dtype=self.dtype)(x)
+        x = nn.relu(x)
         x = nn.Conv(self.num_masks + 1, (1, 1), padding="SAME",
                     dtype=self.dtype)(x)
         # softmax in f32: mask probabilities feed Dice/BCE losses

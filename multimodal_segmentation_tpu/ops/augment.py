@@ -85,3 +85,23 @@ def random_rotate_batch(rng, arrays, rotation_range_deg=20.0):
         return arrays
     thetas = random_rotation_angles(rng, arrays[0].shape[0], rotation_range_deg)
     return [rotate_batch(a, thetas.astype(a.dtype)) for a in arrays]
+
+
+def random_rotate_volumes(rng, volumes, masks, rotation_range_deg=20.0):
+    """In-plane rotation of (B, D, H, W, C) volumes about the slice axis.
+
+    One angle per study, shared across its slices and its masks — the
+    volumetric analogue of the shared-seed 2-D augmentation. Sharding-
+    friendly: the rotation is a per-slice gather in (H, W), so a 'space'-
+    sharded D axis needs no cross-shard traffic.
+    """
+    B, D = volumes.shape[0], volumes.shape[1]
+    thetas = random_rotation_angles(rng, B, rotation_range_deg)
+    th = jnp.repeat(thetas, D)
+
+    def rot(x):
+        flat = x.reshape((B * D,) + x.shape[2:])
+        out = rotate_batch(flat, th.astype(x.dtype))
+        return out.reshape(x.shape)
+
+    return rot(volumes), rot(masks)

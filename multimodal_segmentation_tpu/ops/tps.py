@@ -162,6 +162,49 @@ def tps_coefficients(cp_offsets, cp_dims=(5, 5), inverse=False, order=2):
     return jax.vmap(one)(cp_offsets)
 
 
+def _tps_warp_jnp(vol, cp_offsets, cp_dims=(5, 5), inverse=False, order=2):
+    B, H, W, C = vol.shape
+    locs = tps_sample_locations(cp_offsets, (H, W), cp_dims, inverse, order)
+    warped = jax.vmap(bilinear_sample)(vol, locs)  # (B, H*W, C)
+    return warped.reshape(B, H, W, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _tps_warp_pallas(vol, cp_offsets, cp_dims, inverse, order):
+    from multimodal_segmentation_tpu.ops.pallas_kernels import (
+        tps_bilinear_warp_pallas,
+    )
+
+    wv = tps_coefficients(cp_offsets, cp_dims, inverse, order)
+    cp_grid = control_grid(list(cp_dims))
+    return tps_bilinear_warp_pallas(vol, wv, cp_grid)
+
+
+def _tps_warp_pallas_fwd(vol, cp_offsets, cp_dims, inverse, order):
+    return _tps_warp_pallas(vol, cp_offsets, cp_dims, inverse, order), (
+        vol,
+        cp_offsets,
+    )
+
+
+def _tps_warp_pallas_bwd(cp_dims, inverse, order, res, g):
+    # Backward by recomputation through the differentiable jnp
+    # formulation (solve -> RBF flow -> bilinear gather). The two forwards
+    # agree to f32 epsilon (tests/test_pallas.py), so this is the exact
+    # gradient of the same math; the recomputed forward fuses into the
+    # backward program and the TPS share of the step is <1% (PERF.md).
+    vol, cp_offsets = res
+    _, vjp = jax.vjp(
+        lambda v, o: _tps_warp_jnp(v, o, cp_dims, inverse, order),
+        vol,
+        cp_offsets,
+    )
+    return vjp(g)
+
+
+_tps_warp_pallas.defvjp(_tps_warp_pallas_fwd, _tps_warp_pallas_bwd)
+
+
 def tps_warp(vol, cp_offsets, cp_dims=(5, 5), inverse=False, order=2,
              use_pallas=False):
     """Warp a batch of images with a thin-plate-spline deformation.
@@ -170,23 +213,16 @@ def tps_warp(vol, cp_offsets, cp_dims=(5, 5), inverse=False, order=2,
       vol: (B, H, W, C) images.
       cp_offsets: (B, n_cp, 2) control-point offsets (normalised, (y, x)).
       use_pallas: route the fused flow+resample through the Pallas kernel
-        (ops/pallas_kernels.py; forward-only — training keeps the
-        differentiable jnp path).
+        (ops/pallas_kernels.py). Differentiable either way: the Pallas
+        path carries a custom VJP that recomputes the backward through
+        the jnp formulation, so it is usable in training (relevant for
+        the large-volume regime where XLA's gather forward degrades).
 
     Returns:
       (B, H, W, C) warped images (zeros where sampling falls outside).
 
     Replaces reference layers/stn_spline.py:55-67 (ThinPlateSpline2D.call).
     """
-    B, H, W, C = vol.shape
     if use_pallas:
-        from multimodal_segmentation_tpu.ops.pallas_kernels import (
-            tps_bilinear_warp_pallas,
-        )
-
-        wv = tps_coefficients(cp_offsets, cp_dims, inverse, order)
-        cp_grid = control_grid(list(cp_dims))
-        return tps_bilinear_warp_pallas(vol, wv, cp_grid)
-    locs = tps_sample_locations(cp_offsets, (H, W), cp_dims, inverse, order)
-    warped = jax.vmap(bilinear_sample)(vol, locs)  # (B, H*W, C)
-    return warped.reshape(B, H, W, C)
+        return _tps_warp_pallas(vol, cp_offsets, tuple(cp_dims), inverse, order)
+    return _tps_warp_jnp(vol, cp_offsets, cp_dims, inverse, order)

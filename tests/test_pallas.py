@@ -70,3 +70,30 @@ class TestWarpPallas:
         with pltpu.force_tpu_interpret_mode():
             out = tps_warp(vol, off, use_pallas=True)
         np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+class TestWarpPallasBackward:
+    """tps_warp(use_pallas=True) is trainable: its custom VJP recomputes
+    through the jnp formulation, so gradients match the jnp path."""
+
+    def test_gradients_match_jnp_path(self):
+        r = np.random.RandomState(11)
+        vol = jnp.asarray(r.rand(2, 16, 16, 8).astype(np.float32))
+        off = jnp.asarray((r.rand(2, 25, 2).astype(np.float32) - 0.5) * 0.05)
+        tgt = jnp.asarray(r.rand(2, 16, 16, 8).astype(np.float32))
+
+        def loss(fn):
+            return lambda v, o: jnp.mean((fn(v, o) - tgt) ** 2)
+
+        g_ref = jax.grad(loss(lambda v, o: tps_warp(v, o)), argnums=(0, 1))(
+            vol, off
+        )
+        with pltpu.force_tpu_interpret_mode():
+            g_pal = jax.grad(
+                loss(lambda v, o: tps_warp(v, o, use_pallas=True)),
+                argnums=(0, 1),
+            )(vol, off)
+        for a, b in zip(g_ref, g_pal):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4
+            )

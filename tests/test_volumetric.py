@@ -25,6 +25,7 @@ def tiny_conf():
     conf.filters3d = 4
     conf.downsample3d = 2
     conf.batch_size = 2
+    conf.rotation_range = 0.0  # deterministic unit tests
     return conf
 
 
@@ -154,3 +155,34 @@ class TestCardiac3DTraining:
         model, params, history = train_cardiac3d(conf, epochs=3, seed=0)
         assert history[-1]["loss"] < history[0]["loss"]
         assert np.isfinite(history[-1]["val_dice"])
+
+
+class TestVolumeAugment:
+    def test_rotation_shared_across_slices_and_masks(self):
+        from multimodal_segmentation_tpu.ops.augment import (
+            random_rotate_volumes,
+            rotate_batch,
+        )
+
+        r = np.random.RandomState(0)
+        vols = jnp.asarray(r.rand(2, 4, 16, 16, 3).astype(np.float32))
+        msks = jnp.asarray((r.rand(2, 4, 16, 16, 2) > 0.5).astype(np.float32))
+        v2, m2 = random_rotate_volumes(jax.random.PRNGKey(3), vols, msks, 30.0)
+        assert v2.shape == vols.shape and m2.shape == msks.shape
+        # masks stay binary under nearest-neighbour rotation
+        assert set(np.unique(np.asarray(m2))) <= {0.0, 1.0}
+        # zero range = identity
+        v3, m3 = random_rotate_volumes(jax.random.PRNGKey(3), vols, msks, 0.0)
+        np.testing.assert_array_equal(np.asarray(v3), np.asarray(vols))
+
+    def test_step_with_rotation_runs(self):
+        conf = tiny_conf()
+        conf.rotation_range = 20.0
+        model = Cardiac3DSegmenter(conf)
+        params, opt = model.init(jax.random.PRNGKey(0))
+        loader = init_loader("cardiac", shape=conf.volume_shape[:3])
+        xs, ys = loader.load_volumes(0, "validation")
+        params, opt, loss = model.step(
+            params, opt, jnp.asarray(xs[:2]), jnp.asarray(ys[:2])
+        )
+        assert np.isfinite(float(loss))
