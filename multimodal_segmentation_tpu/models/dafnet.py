@@ -448,30 +448,23 @@ class DAFNet:
         idx2 = jax.random.choice(r2, pool2.shape[0], (B,), replace=False)
         return jnp.take(pool1, idx1, axis=0), jnp.take(pool2, idx2, axis=0)
 
-    def d_mask_loss(self, d_params, gen_params, state, batch, rng):
-        """Mask-discriminator loss: two real/fake LSGAN pairs + spectral
-        penalty (dafnet_executor.py:511-545; penalty from the Keras kernel
-        regularizer on the D convs)."""
-        params = {**gen_params, **d_params}
-        fake_m1, fake_m2 = self.make_fake_masks(
-            params, state, batch["dx1"], batch["dx2"], rng
+    def d_mask_pair_loss(self, d_params, other_params, state, real_m, fake_m):
+        """One real/fake LSGAN pair + spectral penalty for the mask
+        discriminator — the loss of ONE reference `D_Mask_trainer.fit`
+        (dafnet_executor.py:534 / :544). The reference performs TWO
+        sequential Adam steps on D_Mask per batch (one per modality), so
+        the train step calls this twice, with the D params updated in
+        between (train/steps.py::DAFNetSteps). The spectral penalty (Keras
+        kernel regularizer) is counted once per fit, as in the reference."""
+        params = {**other_params, **d_params}
+        d_real, penalty, state = self.discriminate(
+            params, state, "d_mask", real_m, collect_spectral=True
         )
-        fake_m1 = jax.lax.stop_gradient(fake_m1)
-        fake_m2 = jax.lax.stop_gradient(fake_m2)
-        nm = self.conf.num_masks
-        m1, m2 = batch["dm1"][..., :nm], batch["dm2"][..., :nm]
-
-        d_real1, penalty, state = self.discriminate(
-            params, state, "d_mask", m1, collect_spectral=True
+        d_fake = self.discriminate(
+            params, state, "d_mask", jax.lax.stop_gradient(fake_m)
         )
-        d_fake1 = self.discriminate(params, state, "d_mask", fake_m1)
-        d_real2 = self.discriminate(params, state, "d_mask", m2)
-        d_fake2 = self.discriminate(params, state, "d_mask", fake_m2)
-
-        loss1 = losses.lsgan_disc(d_real1, d_fake1) + penalty
-        loss2 = losses.lsgan_disc(d_real2, d_fake2) + penalty
-        total = loss1 + loss2
-        return total, ({"dis_M": total / 2.0}, state)
+        loss = losses.lsgan_disc(d_real, d_fake) + penalty
+        return loss, ({"dis_M": loss}, state)
 
     def d_image_loss(self, d_params, gen_params, state, batch, rng):
         """Image-discriminator losses for both modalities

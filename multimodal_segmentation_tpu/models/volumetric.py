@@ -27,7 +27,10 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from multimodal_segmentation_tpu.losses import combined_dice_bce, dice_np
+from multimodal_segmentation_tpu.losses import (
+    combined_dice_bce,
+    dice_np_volume,
+)
 from multimodal_segmentation_tpu.nn.unet3d import UNet3D
 
 
@@ -133,17 +136,21 @@ class Cardiac3DSegmenter:
 
     def predict(self, params, volumes):
         if self.mesh is not None:
-            volumes = jax.device_put(volumes, self._volume_sharding())
+            # Inference batches can be any size (evaluate() tails, test()
+            # predicts single studies), so shard only the depth axis —
+            # P('data','space') would require B % n_data == 0.
+            s = NamedSharding(self.mesh, P(None, "space"))
+            volumes = jax.device_put(volumes, s)
         return self._predict(params, volumes)
 
     def evaluate(self, params, volumes, masks, batch=2):
-        """Per-study binarised Dice (foreground classes), numpy."""
+        """Per-study whole-volume binarised Dice (foreground classes)."""
         scores = []
         for i in range(0, volumes.shape[0], batch):
             pred = np.asarray(self.predict(params, volumes[i : i + batch]))
             for j in range(pred.shape[0]):
                 scores.append(
-                    dice_np(
+                    dice_np_volume(
                         masks[i + j], pred[j][..., : self.conf.num_masks],
                         binarise=True,
                     )
@@ -210,9 +217,9 @@ class Cardiac3DExecutor:
         rows = []
         for i, vid in enumerate(vols):
             pred = np.asarray(self.model.predict(self.params, xs[i : i + 1]))[0]
-            d = dice_np(ys[i], pred[..., : conf.num_masks], binarise=True)
+            d = dice_np_volume(ys[i], pred[..., : conf.num_masks], binarise=True)
             per = [
-                dice_np(
+                dice_np_volume(
                     ys[i][..., k : k + 1],
                     pred[..., k : k + 1],
                     binarise=True,

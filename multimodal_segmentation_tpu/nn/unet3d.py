@@ -73,6 +73,10 @@ def max_pool_hw(x):
     elementwise compare instead of XLA select-and-scatter.
     """
     b, d, h, w, c = x.shape
+    if h % 2 or w % 2:
+        # odd H/W (volume_shape not divisible by 2^downsample3d): fall
+        # back to the windowed pool, same as blocks.max_pool2
+        return nn.max_pool(x, window_shape=(1, 2, 2), strides=(1, 2, 2))
     xr = x.reshape(b, d, h // 2, 2, w // 2, 2, c)
     return jnp.max(xr, axis=(3, 5))
 

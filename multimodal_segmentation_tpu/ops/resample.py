@@ -5,8 +5,10 @@ layers/stn_spline.py:8,65). Semantics match the TF resampler: bilinear
 blending of the four neighbouring pixels, with any corner that falls outside
 the image contributing zero (so points sampled fully outside produce 0).
 
-The default implementation is pure jnp (XLA gather); a Pallas kernel for the
-gather lives in ops/pallas_warp.py and is selected by `tps_warp` on TPU.
+The default implementation is pure jnp (XLA gather); a fused Pallas warp
+kernel (flow evaluation + bilinear gather in VMEM) lives in
+ops/pallas_kernels.py::tps_bilinear_warp_pallas, selected via
+`tps_warp(..., use_pallas=True)`.
 """
 
 import jax.numpy as jnp

@@ -16,8 +16,9 @@ def round_ste(x):
     """Round to the nearest integer; identity gradient (straight-through).
 
     On TPU this dispatches to the tiled Pallas kernel
-    (ops/pallas_kernels.py::round_ste_pallas, measured ~2.4x faster than
-    the standalone XLA op on v5e); elsewhere the jnp custom-vjp path.
+    (ops/pallas_kernels.py::round_ste_pallas), numerically identical to
+    the jnp custom-vjp path used elsewhere. Rounding is a trivial share
+    of the bandwidth-bound step either way (PERF.md).
     """
     if jax.default_backend() == "tpu":
         from multimodal_segmentation_tpu.ops.pallas_kernels import round_ste_pallas

@@ -18,6 +18,7 @@ import numpy as np
 from multimodal_segmentation_tpu import losses
 from multimodal_segmentation_tpu.data.batches import BatchStream
 from multimodal_segmentation_tpu.data.loader_factory import init_loader
+from multimodal_segmentation_tpu.data.prefetch import prefetch_to_device
 from multimodal_segmentation_tpu.train.early_stopping import EarlyStopping
 from multimodal_segmentation_tpu.train.state import create_train_state
 from multimodal_segmentation_tpu.train.steps import make_steps
@@ -63,6 +64,7 @@ class Executor:
         data = self.loader.load_all_modalities_concatenated(
             conf.split, "training", conf.image_downsample
         )
+        data.crop(conf.input_hw)
         data.sample(int(np.round(conf.l_mix * data.num_volumes)), seed=conf.seed)
         if getattr(conf, "randomise", False):
             data.randomise_pairs(conf.n_pairs - 1, seed=conf.seed)
@@ -82,6 +84,7 @@ class Executor:
         ul = self.loader.load_all_modalities_concatenated(
             conf.split, "training", conf.image_downsample
         )
+        ul.crop(conf.input_hw)
         if getattr(conf, "randomise", False):
             ul.randomise_pairs(length=conf.n_pairs - 1)
         elif getattr(conf, "automatedpairing", False):
@@ -115,6 +118,7 @@ class Executor:
         full = self.loader.load_all_modalities_concatenated(
             self.conf.split, "training", self.conf.image_downsample
         )
+        full.crop(self.conf.input_hw)
         return full.get_images_modi(0), full.get_images_modi(1)
 
     def init_train_data(self):
@@ -171,6 +175,24 @@ class Executor:
         if getattr(conf, "steps_per_epoch", None):
             self.batches = min(self.batches, conf.steps_per_epoch)
 
+        # Double-buffered host->HBM feed (SURVEY.md §7): assembled batches
+        # are device_put (sharded over 'data' under a mesh) ahead of
+        # consumption so the H2D copy rides under the previous step's
+        # compute instead of serialising with it.
+        sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharding = NamedSharding(self.mesh, PartitionSpec("data"))
+        self.batch_iter = prefetch_to_device(
+            self._assembled_batches(), size=2, sharding=sharding
+        )
+
+    def _assembled_batches(self):
+        """Infinite iterator of fully-assembled per-step batch dicts,
+        keyed by path ('sup' / 'unsup' / 'disc')."""
+        raise NotImplementedError
+
     # ------------------------------------------------------------ training
 
     def create_state(self):
@@ -184,6 +206,20 @@ class Executor:
             ts = self.ckpt.restore(latest, jax.device_get(ts))
             ts = jax.tree_util.tree_map(jnp.asarray, ts)
             start_epoch = latest + 1
+        else:
+            # No full checkpoint: restore any per-component .npz weights
+            # (reference loads each sub-model independently at build,
+            # models/dafnet.py:54-73). The exported npz hold the
+            # eval/SWA-clone weights (dafnet_executor.py:286-301), so they
+            # seed both the live params and the SWA average.
+            params, loaded = self.ckpt.load_component_weights(
+                os.path.join(self.conf.folder, "models"), ts.params
+            )
+            if loaded:
+                ts = ts.replace(
+                    params=params,
+                    swa_params=jax.tree_util.tree_map(jnp.copy, params),
+                )
         return ts, start_epoch
 
     def train(self):
@@ -337,23 +373,33 @@ class DAFNetExecutor(Executor):
     every component from epoch 40; validation on the SWA average
     (dafnet_executor.py:212-284,303-367)."""
 
-    def train_batch(self, ts, epoch_metrics):
+    def _assembled_batches(self):
         conf = self.conf
-        if conf.l_mix > 0:
-            batch = dict(next(self.gen_labelled))
-            dm1 = next(self.disc_masks)["m"]
-            dm2 = next(self.disc_masks)["m"]
-            batch.update(next(self.disc_images))
-            batch["dm1"], batch["dm2"] = dm1, dm2
-            ts, metrics = self.steps.step_supervised(ts, batch)
+        while True:
+            out = {}
+            if conf.l_mix > 0:
+                batch = dict(next(self.gen_labelled))
+                dm1 = next(self.disc_masks)["m"]
+                dm2 = next(self.disc_masks)["m"]
+                batch.update(next(self.disc_images))
+                batch["dm1"], batch["dm2"] = dm1, dm2
+                out["sup"] = batch
+            if conf.l_mix < 1:
+                batch = dict(next(self.gen_unlabelled))
+                dm1 = next(self.disc_masks)["m"]
+                dm2 = next(self.disc_masks)["m"]
+                batch.update(next(self.disc_images))
+                batch["dm1"], batch["dm2"] = dm1, dm2
+                out["unsup"] = batch
+            yield out
+
+    def train_batch(self, ts, epoch_metrics):
+        batch = next(self.batch_iter)
+        if "sup" in batch:
+            ts, metrics = self.steps.step_supervised(ts, batch["sup"])
             self._collect(epoch_metrics, metrics)
-        if conf.l_mix < 1:
-            batch = dict(next(self.gen_unlabelled))
-            dm1 = next(self.disc_masks)["m"]
-            dm2 = next(self.disc_masks)["m"]
-            batch.update(next(self.disc_images))
-            batch["dm1"], batch["dm2"] = dm1, dm2
-            ts, metrics = self.steps.step_unsupervised(ts, batch)
+        if "unsup" in batch:
+            ts, metrics = self.steps.step_unsupervised(ts, batch["unsup"])
             self._collect(epoch_metrics, metrics)
         return ts
 
@@ -415,18 +461,28 @@ class MMSDNetExecutor(Executor):
     then one mask-discriminator step per batch; validation on live weights
     (mmsdnet_executor.py:159-236)."""
 
-    def train_batch(self, ts, epoch_metrics):
+    def _assembled_batches(self):
         conf = self.conf
-        if conf.l_mix > 0:
-            ts, metrics = self.steps.step_supervised(ts, next(self.gen_labelled))
+        while True:
+            out = {}
+            if conf.l_mix > 0:
+                out["sup"] = dict(next(self.gen_labelled))
+            if conf.l_mix < 1:
+                out["unsup"] = dict(next(self.gen_unlabelled))
+            out["disc"] = {
+                "dm": next(self.disc_masks)["m"], **next(self.disc_images)
+            }
+            yield out
+
+    def train_batch(self, ts, epoch_metrics):
+        batch = next(self.batch_iter)
+        if "sup" in batch:
+            ts, metrics = self.steps.step_supervised(ts, batch["sup"])
             self._collect(epoch_metrics, metrics)
-        if conf.l_mix < 1:
-            ts, metrics = self.steps.step_unsupervised(
-                ts, next(self.gen_unlabelled)
-            )
+        if "unsup" in batch:
+            ts, metrics = self.steps.step_unsupervised(ts, batch["unsup"])
             self._collect(epoch_metrics, metrics)
-        dbatch = {"dm": next(self.disc_masks)["m"], **next(self.disc_images)}
-        ts, metrics = self.steps.step_discriminator(ts, dbatch)
+        ts, metrics = self.steps.step_discriminator(ts, batch["disc"])
         self._collect(epoch_metrics, metrics)
         return ts
 

@@ -173,9 +173,34 @@ class DAFNetSteps(_StepsBase):
 
         # ---- discriminator updates (use the just-updated generator, like
         # the reference's predict-after-fit ordering) ----
-        ts, dm_metrics = self._disc_update(
-            ts, batch, r_dm, self.model.d_mask_loss, ("d_mask",)
+        # D_Mask: TWO sequential Adam steps per batch, one per modality,
+        # matching the reference's two `D_Mask_trainer.fit` calls
+        # (dafnet_executor.py:534,544). Fake pools are computed once from
+        # the (unchanged) generator, exactly as the reference predicts them
+        # before the first fit.
+        nm = conf.num_masks
+        fake_m1, fake_m2 = self.model.make_fake_masks(
+            ts.params, ts.model_state, batch["dx1"], batch["dx2"], r_dm
         )
+        ts, dm1 = self._disc_update(
+            ts,
+            batch,
+            r_dm,
+            lambda d, o, s, b, r: self.model.d_mask_pair_loss(
+                d, o, s, b["dm1"][..., :nm], fake_m1
+            ),
+            ("d_mask",),
+        )
+        ts, dm2 = self._disc_update(
+            ts,
+            batch,
+            r_dm,
+            lambda d, o, s, b, r: self.model.d_mask_pair_loss(
+                d, o, s, b["dm2"][..., :nm], fake_m2
+            ),
+            ("d_mask",),
+        )
+        dm_metrics = {"dis_M": (dm1["dis_M"] + dm2["dis_M"]) / 2.0}
         ts, di_metrics = self._disc_update(
             ts, batch, r_di, self.model.d_image_loss, ("d_image1", "d_image2")
         )

@@ -16,6 +16,7 @@ import logging
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -61,3 +62,47 @@ class CheckpointManager:
             np.savez_compressed(
                 os.path.join(folder, "%s%s.npz" % (name, postfix)), **flat
             )
+
+    def load_component_weights(self, folder, params, components=None,
+                               postfix=""):
+        """Inverse of save_component_weights: restore any subset of
+        components' params from <folder>/<Component>.npz into a params
+        dict keyed by component name. Components without an .npz file are
+        left untouched — the reference loads each sub-model's weights
+        independently and tolerates absent files the same way
+        (models/dafnet.py:54-73).
+
+        Returns (new_params, loaded_component_names).
+        """
+        new = dict(params)
+        names = list(params.keys()) if components is None else list(components)
+        loaded = []
+        for name in names:
+            path = os.path.join(folder, "%s%s.npz" % (name, postfix))
+            if not os.path.exists(path):
+                continue
+            with np.load(path) as saved:
+                tree = params[name]
+                paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(
+                    tree
+                )
+                leaves = []
+                for p, leaf in paths_leaves:
+                    key = "/".join(str(getattr(q, "key", q)) for q in p)
+                    if key not in saved:
+                        raise KeyError(
+                            "%s: missing array %r (file has %s)"
+                            % (path, key, sorted(saved.keys()))
+                        )
+                    arr = saved[key]
+                    if tuple(arr.shape) != tuple(np.shape(leaf)):
+                        raise ValueError(
+                            "%s: %r shape %s does not match model shape %s"
+                            % (path, key, arr.shape, np.shape(leaf))
+                        )
+                    leaves.append(jnp.asarray(arr, np.asarray(leaf).dtype))
+            new[name] = jax.tree_util.tree_unflatten(treedef, leaves)
+            loaded.append(name)
+        if loaded:
+            log.info("Loaded component weights: %s", ", ".join(loaded))
+        return new, loaded

@@ -58,11 +58,15 @@ extern "C" {
 
 // Parse a DICOM file.
 //   pixels_out: caller buffer of max_pixels uint16 (may be null to query)
-//   meta_out:   [rows, cols, bits_allocated, pixel_representation]
+//   meta_out:   [rows, cols, bits_allocated, pixel_representation,
+//                bits_stored, high_bit]
 //   spacing_out:[row_spacing_mm, col_spacing_mm, spacing_between_slices_mm]
+//   rescale_out:[RescaleSlope, RescaleIntercept] (modality LUT; defaults
+//               1.0 / 0.0 when the tags are absent, as for CHAOS MR)
 // Returns 0 on success, negative error codes otherwise.
 int mmseg_dicom_read(const char* path, uint16_t* pixels_out, int max_pixels,
-                     int32_t* meta_out, double* spacing_out) {
+                     int32_t* meta_out, double* spacing_out,
+                     double* rescale_out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   std::fseek(f, 0, SEEK_END);
@@ -82,16 +86,34 @@ int mmseg_dicom_read(const char* path, uint16_t* pixels_out, int max_pixels,
     r.off = 132;
   }
 
+  // VR-ness of the BODY: decided by TransferSyntaxUID (0002,0010) when a
+  // file-meta group is present ("1.2.840.10008.1.2" = implicit VR LE),
+  // else by the byte heuristic at the first body element. Headerless
+  // files start with the body, so seed from the heuristic.
   bool explicit_vr = r.ok(8) && looks_explicit(buf.data() + r.off);
+  bool body_vr_decided = false;
+  std::string transfer_syntax;
 
   int rows = 0, cols = 0, bits = 16, pixrep = 0;
+  int bits_stored = 0, high_bit = -1;
   double sp_row = 1.0, sp_col = 1.0, sp_slice = 1.0;
+  double rs_slope = 1.0, rs_intercept = 0.0;
   const uint8_t* pixel_data = nullptr;
   uint32_t pixel_len = 0;
 
   while (r.ok(8)) {
+    size_t elem_start = r.off;
     uint16_t group = r.u16();
     uint16_t elem = r.u16();
+    if (group != 0x0002 && !body_vr_decided) {
+      // First body element: fix the body encoding.
+      if (!transfer_syntax.empty()) {
+        explicit_vr = transfer_syntax != "1.2.840.10008.1.2";
+      } else {
+        explicit_vr = looks_explicit(buf.data() + elem_start);
+      }
+      body_vr_decided = true;
+    }
     uint32_t len;
     char vr[2] = {0, 0};
     bool elem_explicit = explicit_vr;
@@ -136,7 +158,13 @@ int mmseg_dicom_read(const char* path, uint16_t* pixels_out, int max_pixels,
     if (!r.ok(len)) break;
 
     const char* val = reinterpret_cast<const char*>(buf.data() + r.off);
-    if (group == 0x0028 && elem == 0x0010 && len >= 2) {
+    if (group == 0x0002 && elem == 0x0010) {
+      transfer_syntax.assign(val, len);
+      // strip trailing NUL/space padding
+      while (!transfer_syntax.empty() &&
+             (transfer_syntax.back() == '\0' || transfer_syntax.back() == ' '))
+        transfer_syntax.pop_back();
+    } else if (group == 0x0028 && elem == 0x0010 && len >= 2) {
       rows = buf[r.off] | (buf[r.off + 1] << 8);
     } else if (group == 0x0028 && elem == 0x0011 && len >= 2) {
       cols = buf[r.off] | (buf[r.off + 1] << 8);
@@ -144,6 +172,14 @@ int mmseg_dicom_read(const char* path, uint16_t* pixels_out, int max_pixels,
       bits = buf[r.off] | (buf[r.off + 1] << 8);
     } else if (group == 0x0028 && elem == 0x0103 && len >= 2) {
       pixrep = buf[r.off] | (buf[r.off + 1] << 8);
+    } else if (group == 0x0028 && elem == 0x0101 && len >= 2) {
+      bits_stored = buf[r.off] | (buf[r.off + 1] << 8);
+    } else if (group == 0x0028 && elem == 0x0102 && len >= 2) {
+      high_bit = buf[r.off] | (buf[r.off + 1] << 8);
+    } else if (group == 0x0028 && elem == 0x1052) {
+      rs_intercept = std::atof(std::string(val, len).c_str());
+    } else if (group == 0x0028 && elem == 0x1053) {
+      rs_slope = std::atof(std::string(val, len).c_str());
     } else if (group == 0x0028 && elem == 0x0030) {
       // PixelSpacing: "row\col" decimal strings
       std::string s(val, len);
@@ -160,16 +196,25 @@ int mmseg_dicom_read(const char* path, uint16_t* pixels_out, int max_pixels,
 
   if (!rows || !cols || !pixel_data) return -5;
 
+  if (bits_stored <= 0 || bits_stored > bits) bits_stored = bits;
+  if (high_bit < 0) high_bit = bits_stored - 1;
+
   if (meta_out) {
     meta_out[0] = rows;
     meta_out[1] = cols;
     meta_out[2] = bits;
     meta_out[3] = pixrep;
+    meta_out[4] = bits_stored;
+    meta_out[5] = high_bit;
   }
   if (spacing_out) {
     spacing_out[0] = sp_row;
     spacing_out[1] = sp_col;
     spacing_out[2] = sp_slice;
+  }
+  if (rescale_out) {
+    rescale_out[0] = rs_slope;
+    rescale_out[1] = rs_intercept;
   }
 
   if (pixels_out) {

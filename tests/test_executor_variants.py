@@ -72,6 +72,74 @@ class TestAutomatedPairing:
         assert int(ts.step) == 1
 
 
+class TestComponentWeights:
+    def test_save_mutate_load_one_component_roundtrip(self, tmp_path):
+        """Per-component npz restore (reference models/dafnet.py:54-73):
+        save all components, perturb one, restore ONLY that one, and check
+        the others are untouched."""
+        import jax.numpy as jnp
+
+        from multimodal_segmentation_tpu.utils.checkpoint import (
+            CheckpointManager,
+        )
+
+        conf = _conf()
+        conf.folder = str(tmp_path / "compw")
+        model = build_model(conf)
+        params, _ = model.init(jax.random.PRNGKey(0))
+        ckpt = CheckpointManager(conf.folder)
+        mdir = os.path.join(conf.folder, "models")
+        ckpt.save_component_weights(mdir, params)
+
+        mutated = dict(params)
+        mutated["segmentor"] = jax.tree_util.tree_map(
+            lambda x: x + 1.0, params["segmentor"]
+        )
+        mutated["decoder"] = jax.tree_util.tree_map(
+            lambda x: x + 1.0, params["decoder"]
+        )
+
+        restored, loaded = ckpt.load_component_weights(
+            mdir, mutated, components=["segmentor"]
+        )
+        assert loaded == ["segmentor"]
+        for a, b in zip(
+            jax.tree_util.tree_leaves(restored["segmentor"]),
+            jax.tree_util.tree_leaves(params["segmentor"]),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        # non-requested component keeps its mutated values
+        a0 = jax.tree_util.tree_leaves(restored["decoder"])[0]
+        b0 = jax.tree_util.tree_leaves(params["decoder"])[0]
+        assert not np.allclose(np.asarray(a0), np.asarray(b0))
+
+        # full restore fixes everything
+        restored_all, loaded_all = ckpt.load_component_weights(mdir, mutated)
+        assert set(loaded_all) == set(params.keys())
+        for name in params:
+            for a, b in zip(
+                jax.tree_util.tree_leaves(restored_all[name]),
+                jax.tree_util.tree_leaves(params[name]),
+            ):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_missing_files_are_tolerated(self, tmp_path):
+        from multimodal_segmentation_tpu.utils.checkpoint import (
+            CheckpointManager,
+        )
+
+        conf = _conf()
+        conf.folder = str(tmp_path / "compw2")
+        model = build_model(conf)
+        params, _ = model.init(jax.random.PRNGKey(0))
+        ckpt = CheckpointManager(conf.folder)
+        out, loaded = ckpt.load_component_weights(
+            str(tmp_path / "empty"), params
+        )
+        assert loaded == []
+        assert out["segmentor"] is params["segmentor"]
+
+
 @pytest.mark.slow
 class TestResume:
     def test_restored_state_predicts_identically(self, tmp_path):
@@ -97,6 +165,29 @@ class TestResume:
             model.predict_mask(ts2.params, ts2.model_state, 1, "max", imgs)
         )
         np.testing.assert_allclose(before, after, atol=1e-6)
+
+    def test_component_npz_fallback_seeds_state(self, tmp_path):
+        """With no Orbax checkpoint but exported models/*.npz present,
+        create_state seeds params from the per-component files (reference
+        build-time weight loading, models/dafnet.py:54-73)."""
+        import shutil
+
+        conf = _conf()
+        conf.folder = str(tmp_path / "npzfall")
+        model = build_model(conf)
+        ex = make_executor(conf, model)
+        ts = ex.train()
+        eval_params = ex.params_for_eval(ts)[0]
+
+        shutil.rmtree(os.path.join(conf.folder, "checkpoints"))
+        ex2 = make_executor(conf, build_model(conf))
+        ts2, start = ex2.create_state()
+        assert start == 0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ts2.params),
+            jax.tree_util.tree_leaves(eval_params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
     def test_checkpoint_resume_continues_epochs(self, tmp_path):
         conf = _conf()

@@ -135,3 +135,41 @@ class TestVAEGan:
         union = tt.sum(axis=(1, 2, 3)) + pp.sum(axis=(1, 2, 3))
         d = (2 * inter + 1e-5) / (union + 1e-5)
         np.testing.assert_allclose(got, np.mean(w * (1 - d)), rtol=1e-5)
+
+
+class TestDiceNpVolume:
+    def test_whole_volume_per_class(self):
+        # (D,H,W,C): class 0 half-overlaps, class 1 perfectly
+        t = np.zeros((4, 8, 8, 2))
+        p = np.zeros((4, 8, 8, 2))
+        t[:, :4, :, 0] = 1.0
+        p[:, 2:6, :, 0] = 1.0  # intersection half of each
+        t[:, :, :2, 1] = 1.0
+        p[:, :, :2, 1] = 1.0
+        from multimodal_segmentation_tpu.losses import dice_np_volume
+
+        got = dice_np_volume(t, p)
+        np.testing.assert_allclose(got, (0.5 + 1.0) / 2, rtol=1e-6)
+
+    def test_absent_class_not_inflated(self):
+        # a class absent from both truth and prediction must NOT score 1.0
+        # into the mean (the per-slice dice_np averaging bug, ADVICE r1)
+        t = np.zeros((4, 8, 8, 2))
+        p = np.zeros((4, 8, 8, 2))
+        t[0, :4, :, 0] = 1.0  # class 0 exists only on slice 0
+        p[0, :4, :, 0] = 1.0
+        from multimodal_segmentation_tpu.losses import dice_np_volume
+
+        # class 1 empty everywhere -> excluded; class 0 perfect -> 1.0
+        np.testing.assert_allclose(dice_np_volume(t, p), 1.0, rtol=1e-6)
+        # and a completely empty pair scores 1.0 (correctly empty)
+        np.testing.assert_allclose(
+            dice_np_volume(np.zeros((2, 4, 4, 1)), np.zeros((2, 4, 4, 1))), 1.0
+        )
+
+    def test_false_positive_on_empty_truth_counts(self):
+        t = np.zeros((2, 4, 4, 1))
+        p = np.ones((2, 4, 4, 1))
+        from multimodal_segmentation_tpu.losses import dice_np_volume
+
+        assert dice_np_volume(t, p) == 0.0

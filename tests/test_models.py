@@ -89,17 +89,26 @@ class TestDAFNet:
             leaves = jax.tree_util.tree_leaves(grads[name])
             assert any(np.any(np.asarray(l) != 0) for l in leaves), name
 
-    def test_d_mask_loss(self):
+    def test_d_mask_pair_loss(self):
+        # one reference D_Mask fit = one real/fake pair + penalty; the
+        # train step applies two of these sequentially (dafnet_executor.py
+        # :534,544) — see test_train.py for the two-Adam-steps dynamics pin
         batch = make_batch(self.conf)
         gen, disc = _split_params(self.params, self.model.GEN_COMPONENTS)
-        total, (metrics, new_state) = self.model.d_mask_loss(
+        nm = self.conf.num_masks
+        fake_m1, _ = self.model.make_fake_masks(
+            self.params, self.state, batch["dx1"], batch["dx2"],
+            jax.random.PRNGKey(2),
+        )
+        total, (metrics, new_state) = self.model.d_mask_pair_loss(
             {"d_mask": disc["d_mask"]},
             {**gen, "d_image1": disc["d_image1"], "d_image2": disc["d_image2"]},
             self.state,
-            batch,
-            jax.random.PRNGKey(2),
+            batch["dm1"][..., :nm],
+            fake_m1,
         )
         assert np.isfinite(float(total))
+        assert np.isfinite(float(metrics["dis_M"]))
         # spectral u state must be updated
         old_u = jax.tree_util.tree_leaves(self.state["spectral"]["d_mask"])[0]
         new_u = jax.tree_util.tree_leaves(new_state["spectral"]["d_mask"])[0]

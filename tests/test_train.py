@@ -64,6 +64,32 @@ class TestDAFNetStep:
                 continue
             assert _params_changed(ts0.params[name], ts2.params[name]), name
 
+    def test_d_mask_gets_two_adam_steps_per_batch(self):
+        # reference fits D_Mask twice per batch (dafnet_executor.py:534,544);
+        # two sequential Adam steps != one step on the summed loss, so the
+        # dynamics are pinned via the Adam step counters
+        conf = tiny_test_config("dafnet")
+        model = build_model(conf)
+        steps = make_steps(model, conf)
+        ts = create_train_state(model, conf, jax.random.PRNGKey(0))
+        ts2, _ = steps.step_supervised(ts, _tiny_batch(conf))
+
+        def adam_count(opt_state):
+            states = [
+                x
+                for x in jax.tree_util.tree_leaves(
+                    opt_state, is_leaf=lambda l: hasattr(l, "mu")
+                )
+                if hasattr(x, "mu")
+            ]
+            assert states, "no ScaleByAdamState found"
+            return int(states[0].count)
+
+        assert adam_count(ts2.opt_disc["d_mask"]) == 2
+        assert adam_count(ts2.opt_disc["d_image1"]) == 1
+        assert adam_count(ts2.opt_disc["d_image2"]) == 1
+        assert adam_count(ts2.opt_gen) == 1
+
     def test_unsupervised_step_runs(self):
         conf = tiny_test_config("dafnet")
         model = build_model(conf)

@@ -99,6 +99,29 @@ class TestCardiac3DSharded:
         params, opt, loss = model.step(params, opt, vb, mb)
         assert np.isfinite(float(loss))
 
+    def test_sharded_evaluate_and_odd_batches(self):
+        """evaluate()/predict() must work on a data>1 mesh with batches
+        not divisible by the data axis (3 studies in batches of 2 → final
+        batch of 1; test() predicts single studies). Inference shards only
+        the depth axis, so any batch size is legal."""
+        devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+        mesh = jax.sharding.Mesh(devices, ("data", "space"))
+        conf = tiny_conf()
+        model = Cardiac3DSegmenter(conf, mesh=mesh)
+        params, _ = model.init(jax.random.PRNGKey(0))
+        loader = init_loader("cardiac", shape=conf.volume_shape[:3])
+        xs, ys = loader.load_volumes(0, "validation")  # 3 studies
+        pred1 = model.predict(params, jnp.asarray(xs[:1]))  # B=1 on data=2
+        assert pred1.shape[0] == 1
+        d = model.evaluate(params, xs, ys, batch=2)  # tail batch of 1
+        assert np.isfinite(d)
+        # sharded inference == single-device inference
+        single = Cardiac3DSegmenter(conf)
+        p_single = np.asarray(single.predict(params, jnp.asarray(xs[:1])))
+        np.testing.assert_allclose(
+            np.asarray(pred1), p_single, rtol=2e-5, atol=2e-5
+        )
+
     def test_sharded_matches_single_device(self):
         """The spatially-partitioned loss equals the unsharded loss — the
         SPMD halo exchanges preserve SAME-conv semantics."""
