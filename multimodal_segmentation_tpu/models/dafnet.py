@@ -427,26 +427,84 @@ class DAFNet:
 
     # ------------------------------------------------- discriminator losses
 
-    def make_fake_masks(self, params, state, x1, x2, rng):
-        """Fake-mask pools for the mask discriminator
+    def _fake_mask_pools(self, params, state, s1, s2, s1_def, s2_def, r1, r2, B):
+        """Mask pools from precomputed anatomies
         (model_executors/dafnet_executor.py:524-543): per modality the simple
         and the cross-deformed segmentation, concatenated then subsampled."""
         nm = self.conf.num_masks
-        s1, s2, _ = self.encode_anatomies(params, state, x1, x2, False, False)
         m1_hat, _ = self.segment(params, state, s1, False, False)
         m2_hat, _ = self.segment(params, state, s2, False, False)
-        s2_def, _ = self.fuse(params, state, s2, s1, False)
-        s1_def, _ = self.fuse(params, state, s1, s2, False)
         m1_from_s2, _ = self.segment(params, state, s2_def, False, False)
         m2_from_s1, _ = self.segment(params, state, s1_def, False, False)
-
-        B = x1.shape[0]
-        r1, r2 = jax.random.split(rng)
         pool1 = jnp.concatenate([m1_hat[..., :nm], m1_from_s2[..., :nm]], axis=0)
         pool2 = jnp.concatenate([m2_hat[..., :nm], m2_from_s1[..., :nm]], axis=0)
         idx1 = jax.random.choice(r1, pool1.shape[0], (B,), replace=False)
         idx2 = jax.random.choice(r2, pool2.shape[0], (B,), replace=False)
         return jnp.take(pool1, idx1, axis=0), jnp.take(pool2, idx2, axis=0)
+
+    def make_fake_masks(self, params, state, x1, x2, rng):
+        """Fake-mask pools for the mask discriminator (standalone wrapper;
+        the fused train step uses make_fake_pools so the generator forward
+        over the D-pool images runs once per step, not twice)."""
+        s1, s2, _ = self.encode_anatomies(params, state, x1, x2, False, False)
+        s2_def, _ = self.fuse(params, state, s2, s1, False)
+        s1_def, _ = self.fuse(params, state, s1, s2, False)
+        r1, r2 = jax.random.split(rng)
+        return self._fake_mask_pools(
+            params, state, s1, s2, s1_def, s2_def, r1, r2, x1.shape[0]
+        )
+
+    def make_fake_pools(self, params, state, x1, x2, rng):
+        """Fake pools for ALL discriminators from ONE generator forward.
+
+        The reference re-predicts the generator components separately for
+        the mask-discriminator step (dafnet_executor.py:524-531,538-541)
+        and the image-discriminator step (:555-570) on their pool batches;
+        since both are pure forwards of the same (frozen) generator on the
+        same images here, this computes the shared anatomies/latents once —
+        identical values, one UNet forward instead of two.
+
+        Returns (fake_m1, fake_m2, fake_y1, fake_y2), all detached.
+        """
+        B = x1.shape[0]
+        r1, r2, r3, r4, r5, r6 = jax.random.split(rng, 6)
+        s1, s2, _ = self.encode_anatomies(params, state, x1, x2, False, False)
+        s1_def, _ = self.fuse(params, state, s1, s2, False)
+        s2_def, _ = self.fuse(params, state, s2, s1, False)
+
+        fake_m1, fake_m2 = self._fake_mask_pools(
+            params, state, s1, s2, s1_def, s2_def, r1, r2, B
+        )
+
+        # image pools: three reconstruction variants per modality
+        # (dafnet_executor.py:555-570), subsampled to batch size
+        z1, _, _, _ = self.encode_modality(params, state, s1, x1, r3, False)
+        z2, _, _, _ = self.encode_modality(params, state, s2, x2, r4, False)
+        y1_pool = jnp.concatenate(
+            [
+                self.decode(params, state, s1, z1, False),
+                self.decode(params, state, s2_def, z1, False),
+                self.decode(params, state, s1_def, z1, False),
+            ],
+            axis=0,
+        )
+        y2_pool = jnp.concatenate(
+            [
+                self.decode(params, state, s2, z2, False),
+                self.decode(params, state, s1_def, z2, False),
+                self.decode(params, state, s2_def, z2, False),
+            ],
+            axis=0,
+        )
+        fake_y1 = jnp.take(
+            y1_pool, jax.random.choice(r5, y1_pool.shape[0], (B,), replace=False),
+            axis=0,
+        )
+        fake_y2 = jnp.take(
+            y2_pool, jax.random.choice(r6, y2_pool.shape[0], (B,), replace=False),
+            axis=0,
+        )
+        return jax.lax.stop_gradient((fake_m1, fake_m2, fake_y1, fake_y2))
 
     def d_mask_pair_loss(self, d_params, other_params, state, real_m, fake_m):
         """One real/fake LSGAN pair + spectral penalty for the mask
@@ -469,49 +527,24 @@ class DAFNet:
     def d_image_loss(self, d_params, gen_params, state, batch, rng):
         """Image-discriminator losses for both modalities
         (dafnet_executor.py:547-583): fake pools from three reconstruction
-        variants each, subsampled to batch size."""
+        variants each, subsampled to batch size. Standalone wrapper — the
+        fused train step precomputes the pools via make_fake_pools and calls
+        d_image_pair_loss directly."""
         params = {**gen_params, **d_params}
-        x1, x2 = batch["dx1"], batch["dx2"]
-        B = x1.shape[0]
-        r1, r2, r3, r4 = jax.random.split(rng, 4)
-
-        s1, s2, _ = self.encode_anatomies(params, state, x1, x2, False, False)
-        s1_def, _ = self.fuse(params, state, s1, s2, False)
-        s2_def, _ = self.fuse(params, state, s2, s1, False)
-        z1, _, _, _ = self.encode_modality(params, state, s1, x1, r1, False)
-        z2, _, _, _ = self.encode_modality(params, state, s2, x2, r2, False)
-
-        y1_pool = jnp.concatenate(
-            [
-                self.decode(params, state, s1, z1, False),
-                self.decode(params, state, s2_def, z1, False),
-                self.decode(params, state, s1_def, z1, False),
-            ],
-            axis=0,
+        _, _, y1, y2 = self.make_fake_pools(
+            params, state, batch["dx1"], batch["dx2"], rng
         )
-        y2_pool = jnp.concatenate(
-            [
-                self.decode(params, state, s2, z2, False),
-                self.decode(params, state, s1_def, z2, False),
-                self.decode(params, state, s2_def, z2, False),
-            ],
-            axis=0,
-        )
-        y1 = jax.lax.stop_gradient(
-            jnp.take(
-                y1_pool,
-                jax.random.choice(r3, y1_pool.shape[0], (B,), replace=False),
-                axis=0,
-            )
-        )
-        y2 = jax.lax.stop_gradient(
-            jnp.take(
-                y2_pool,
-                jax.random.choice(r4, y2_pool.shape[0], (B,), replace=False),
-                axis=0,
-            )
+        return self.d_image_pair_loss(
+            d_params, gen_params, state, batch["dx1"], batch["dx2"], y1, y2
         )
 
+    def d_image_pair_loss(self, d_params, other_params, state, x1, x2, y1, y2):
+        """LSGAN real/fake losses + spectral penalties for both image
+        discriminators, with the fake pools (y1, y2) precomputed
+        (dafnet_executor.py:571-583)."""
+        params = {**other_params, **d_params}
+        y1 = jax.lax.stop_gradient(y1)
+        y2 = jax.lax.stop_gradient(y2)
         d1_real, p1, state = self.discriminate(
             params, state, "d_image1", x1, collect_spectral=True
         )

@@ -146,6 +146,123 @@ def _warp_kernel(src_ref, w_ref, cp_ref, v_ref, o_ref, *, H, W, C, P):
                        precision=jax.lax.Precision.HIGHEST)  # (P, 128)
 
 
+def _warp_bwd_kernel(src_ref, locs_ref, g_ref, gsrc_ref, gloc_ref, *, H, W, C, P):
+    """Backward of the fused bilinear warp for one (batch, point-block) tile.
+
+    Same scatter-as-matmul design as the forward: the gradient scatter into
+    the source image is an (H, P) @ (P, C*W) MXU matmul accumulated across
+    point blocks, and the sample-location gradients come from the exact
+    derivatives of the row/column blend matrices — nothing leaves VMEM but
+    the two gradient outputs.
+
+    src_ref:  (1, H, C*W) channel-major source image.
+    locs_ref: (1, P, 2) pixel-space sample locations (y, x).
+    g_ref:    (1, P, 128) output cotangent (first C lanes valid, rest zero).
+    gsrc_ref: (1, H, C*W) source gradient, accumulated over the point grid.
+    gloc_ref: (1, P, 128) location gradient (lane 0 = dy, lane 1 = dx).
+    """
+    j = pl.program_id(1)
+
+    y = locs_ref[0, :, 0:1]  # (P, 1) pixel coords
+    x = locs_ref[0, :, 1:2]
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    wy1 = y - y0
+    wx1 = x - x0
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (P, H), 1).astype(jnp.float32)
+    in_y0 = ((y0 >= 0) & (y0 <= H - 1)).astype(jnp.float32)
+    in_y1 = ((y0 + 1 >= 0) & (y0 + 1 <= H - 1)).astype(jnp.float32)
+    hit_y0 = (rows == y0).astype(jnp.float32) * in_y0
+    hit_y1 = (rows == (y0 + 1.0)).astype(jnp.float32) * in_y1
+    a = hit_y0 * (1.0 - wy1) + hit_y1 * wy1          # (P, H)
+    da = hit_y1 - hit_y0                              # d a / d y
+
+    cw = jax.lax.broadcasted_iota(jnp.int32, (P, W * C), 1)
+    wpos = jnp.mod(cw, W).astype(jnp.float32)
+    in_x0 = ((x0 >= 0) & (x0 <= W - 1)).astype(jnp.float32)
+    in_x1 = ((x0 + 1 >= 0) & (x0 + 1 <= W - 1)).astype(jnp.float32)
+    hit_x0 = (wpos == x0).astype(jnp.float32) * in_x0
+    hit_x1 = (wpos == (x0 + 1.0)).astype(jnp.float32) * in_x1
+    bx = hit_x0 * (1.0 - wx1) + hit_x1 * wx1          # (P, C*W)
+    dbx = hit_x1 - hit_x0                             # d bx / d x
+
+    # expand the per-channel cotangent to the channel-major flat layout:
+    # g_exp[p, c*W + w] = g[p, c]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (W * C, 128), 0) // W
+    chan = jax.lax.broadcasted_iota(jnp.int32, (W * C, 128), 1)
+    s_t = (chan == lane).astype(jnp.float32).T       # (128, C*W)
+    g_exp = jnp.dot(g_ref[0], s_t, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # (P, C*W)
+
+    src = src_ref[0]                                  # (H, C*W)
+    u = g_exp * bx                                    # cotangent of r = a @ src
+
+    # source gradient: accumulate a^T @ u over point blocks
+    gsrc_tile = jnp.dot(a.T, u, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (H, C*W)
+
+    @pl.when(j == 0)
+    def _():
+        gsrc_ref[0] = gsrc_tile
+
+    @pl.when(j > 0)
+    def _():
+        gsrc_ref[0] = gsrc_ref[0] + gsrc_tile
+
+    # location gradients
+    cot_a = jnp.dot(u, src.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # (P, H)
+    gy = jnp.sum(cot_a * da, axis=1, keepdims=True)       # (P, 1)
+    r = jnp.dot(a, src, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # (P, C*W)
+    gx = jnp.sum(g_exp * r * dbx, axis=1, keepdims=True)  # (P, 1)
+
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1)
+    gloc_ref[0] = gy * (out_lane == 0).astype(jnp.float32) + gx * (
+        out_lane == 1
+    ).astype(jnp.float32)
+
+
+def tps_bilinear_warp_bwd_pallas(vol, locs, g, block_points=256):
+    """Backward of the fused warp: given vol (B, H, W, C), pixel-space
+    sample locations locs (B, H*W, 2) and output cotangent g (B, H, W, C),
+    returns (grad_vol, grad_locs)."""
+    B, H, W, C = vol.shape
+    P = min(block_points, H * W)
+    assert (H * W) % P == 0, (H, W, P)
+    assert (W * C) % 128 == 0, (W, C)
+
+    g_pad = jnp.zeros((B, H * W, 128), jnp.float32)
+    g_pad = g_pad.at[:, :, :C].set(g.reshape(B, H * W, C).astype(jnp.float32))
+
+    kernel = functools.partial(_warp_bwd_kernel, H=H, W=W, C=C, P=P)
+    gsrc, gloc = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, C * W), jnp.float32),
+            jax.ShapeDtypeStruct((B, H * W, 128), jnp.float32),
+        ],
+        grid=(B, (H * W) // P),
+        in_specs=[
+            pl.BlockSpec((1, H, W * C), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 2), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 128), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, C * W), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 128), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+    )(
+        vol.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(B, H, C * W),
+        locs.astype(jnp.float32),
+        g_pad,
+    )
+    grad_vol = gsrc.reshape(B, H, C, W).transpose(0, 1, 3, 2).astype(vol.dtype)
+    grad_locs = gloc[:, :, :2]
+    return grad_vol, grad_locs
+
+
 def tps_bilinear_warp_pallas(vol, wv, cp_grid, block_points=1024):
     """Fused TPS warp: vol (B, H, W, C), wv (B, 28, 2) solved spline
     coefficients, cp_grid (25, 2). Returns (B, H, W, C)."""

@@ -12,15 +12,19 @@ import jax
 import jax.numpy as jnp
 
 
-def round_ste(x):
+def round_ste(x, use_pallas=False):
     """Round to the nearest integer; identity gradient (straight-through).
 
-    On TPU this dispatches to the tiled Pallas kernel
-    (ops/pallas_kernels.py::round_ste_pallas), numerically identical to
-    the jnp custom-vjp path used elsewhere. Rounding is a trivial share
-    of the bandwidth-bound step either way (PERF.md).
+    The jnp custom-vjp path is the default everywhere: a bare `jnp.round`
+    fuses into the surrounding elementwise chains, whereas a Pallas call is
+    an opaque custom-call — a fusion barrier that forces both its input and
+    output anatomy tensors through HBM, which is pure overhead for this
+    bandwidth-bound step. The numerically identical tiled Pallas kernel
+    (ops/pallas_kernels.py::round_ste_pallas) stays available behind
+    `use_pallas=True` as the template for VMEM-resident fusions in the 3-D
+    large-volume regime (PERF.md).
     """
-    if jax.default_backend() == "tpu":
+    if use_pallas and jax.default_backend() == "tpu":
         from multimodal_segmentation_tpu.ops.pallas_kernels import round_ste_pallas
 
         return round_ste_pallas(x)

@@ -188,18 +188,24 @@ def _tps_warp_pallas_fwd(vol, cp_offsets, cp_dims, inverse, order):
 
 
 def _tps_warp_pallas_bwd(cp_dims, inverse, order, res, g):
-    # Backward by recomputation through the differentiable jnp
-    # formulation (solve -> RBF flow -> bilinear gather). The two forwards
-    # agree to f32 epsilon (tests/test_pallas.py), so this is the exact
-    # gradient of the same math; the recomputed forward fuses into the
-    # backward program and the TPS share of the step is <1% (PERF.md).
+    """Kernel backward: the dense bilinear-gather VJP (the part where XLA's
+    scatter degrades at scale) runs in the Pallas kernel
+    (ops/pallas_kernels.py::tps_bilinear_warp_bwd_pallas) as VMEM-resident
+    MXU matmuls; the small-system chain (flow matmul + 28x28 solve backward,
+    <1% of the op) goes through the XLA vjp of tps_sample_locations."""
+    from multimodal_segmentation_tpu.ops.pallas_kernels import (
+        tps_bilinear_warp_bwd_pallas,
+    )
+
     vol, cp_offsets = res
-    _, vjp = jax.vjp(
-        lambda v, o: _tps_warp_jnp(v, o, cp_dims, inverse, order),
-        vol,
+    B, H, W, C = vol.shape
+    locs, vjp_locs = jax.vjp(
+        lambda o: tps_sample_locations(o, (H, W), cp_dims, inverse, order),
         cp_offsets,
     )
-    return vjp(g)
+    grad_vol, grad_locs = tps_bilinear_warp_bwd_pallas(vol, locs, g)
+    (grad_offsets,) = vjp_locs(grad_locs.astype(locs.dtype))
+    return grad_vol, grad_offsets
 
 
 _tps_warp_pallas.defvjp(_tps_warp_pallas_fwd, _tps_warp_pallas_bwd)

@@ -273,6 +273,16 @@ class Executor:
                 ", ".join("%s=%.4f" % (k, v) for k, v in sorted(logs.items())),
             )
 
+            # per-epoch test_error.txt: "epoch, -dice" appended each epoch
+            # (callbacks/image_callback.py:64-66, SaveImage). The reference
+            # records the negated mean Dice of the displayed predictions;
+            # here the tracked validation Dice plays that role.
+            if "val_loss" in logs:
+                with open(
+                    os.path.join(conf.folder, "test_error.txt"), "a+"
+                ) as f:
+                    f.write("%d, %.3f\n" % (epoch, logs["val_loss"] - 1.0))
+
             if img_cb is not None:
                 img_cb.on_epoch_end(
                     epoch, *self.params_for_eval(ts)

@@ -175,11 +175,13 @@ class DAFNetSteps(_StepsBase):
         # the reference's predict-after-fit ordering) ----
         # D_Mask: TWO sequential Adam steps per batch, one per modality,
         # matching the reference's two `D_Mask_trainer.fit` calls
-        # (dafnet_executor.py:534,544). Fake pools are computed once from
-        # the (unchanged) generator, exactly as the reference predicts them
-        # before the first fit.
+        # (dafnet_executor.py:534,544). ALL fake pools (masks + images) are
+        # computed from ONE shared generator forward on the D-pool images —
+        # the reference re-predicts the same components for its mask step
+        # (:524-531) and image step (:555-570); the values are identical,
+        # so the duplicate UNet forward is pure waste on TPU.
         nm = conf.num_masks
-        fake_m1, fake_m2 = self.model.make_fake_masks(
+        fake_m1, fake_m2, fake_y1, fake_y2 = self.model.make_fake_pools(
             ts.params, ts.model_state, batch["dx1"], batch["dx2"], r_dm
         )
         ts, dm1 = self._disc_update(
@@ -202,7 +204,13 @@ class DAFNetSteps(_StepsBase):
         )
         dm_metrics = {"dis_M": (dm1["dis_M"] + dm2["dis_M"]) / 2.0}
         ts, di_metrics = self._disc_update(
-            ts, batch, r_di, self.model.d_image_loss, ("d_image1", "d_image2")
+            ts,
+            batch,
+            r_di,
+            lambda d, o, s, b, r: self.model.d_image_pair_loss(
+                d, o, s, b["dx1"], b["dx2"], fake_y1, fake_y2
+            ),
+            ("d_image1", "d_image2"),
         )
 
         metrics = {**gen_metrics, **dm_metrics, **di_metrics}

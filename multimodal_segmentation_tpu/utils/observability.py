@@ -131,8 +131,48 @@ class TrainingImageCallback:
             self._plot_latent_representation(epoch, params, state, x1, x2)
             self._plot_reconstructions(epoch, params, state, x1, x2)
             self._plot_discriminator_outputs(epoch, params, state, x1, x2)
+            self._plot_epoch_grid(epoch, params, state)
         except Exception as e:  # pragma: no cover
             log.warning("image callback failed: %s", e)
+
+    def _plot_epoch_grid(self, epoch, params, state):
+        """Intensity-augmented training-batch segmentation grid
+        (callbacks/image_callback.py:69-123, SaveEpochImages): the displayed
+        batch gets a random brightness/contrast jitter
+        (utils/image_utils.py:100-110) before prediction; rows are the
+        images beside the value-scaled true and predicted mask overlays,
+        written under <folder>/training/."""
+        import jax
+        import jax.numpy as jnp
+
+        from multimodal_segmentation_tpu.ops.augment import (
+            random_brightness_contrast,
+        )
+
+        folder = os.path.join(os.path.dirname(self.folder), "training")
+        os.makedirs(folder, exist_ok=True)
+
+        n = min(4, len(self.batch["x1"]))  # image_callback.py:101 caps at 4
+        x1 = jnp.asarray(self.batch["x1"][:n])
+        x2 = jnp.asarray(self.batch["x2"][:n])
+        x1 = random_brightness_contrast(
+            jax.random.PRNGKey(epoch), x1, brightness=0.01, contrast=0.01
+        )
+        x2 = random_brightness_contrast(
+            jax.random.PRNGKey(epoch + 1), x2, brightness=0.01, contrast=0.01
+        )
+        y = np.asarray(self.model.predict_mask(params, state, 1, "simple", [x1, x2]))
+        m = np.asarray(self.batch.get("m2", self.batch["m1"])[:n])
+        nm = m.shape[-1]
+        # value-scaled mask overlays (save_multiimage_segmentation :109-112)
+        m_img = sum(m[..., j] * (j + 1) / nm for j in range(nm))
+        y_img = sum(y[..., j] * (j + 1) / nm for j in range(nm))
+        rows = [
+            [np.asarray(x2)[i, :, :, 0], m_img[i], y_img[i]] for i in range(n)
+        ]
+        save_image_grid(
+            os.path.join(folder, "segmentations_epoch_%d.png" % epoch), rows
+        )
 
     def _plot_segmentations(self, epoch, params, state, x1, x2):
         m = np.asarray(self.model.predict_mask(params, state, 1, "max", [x1, x2]))

@@ -73,8 +73,10 @@ class TestWarpPallas:
 
 
 class TestWarpPallasBackward:
-    """tps_warp(use_pallas=True) is trainable: its custom VJP recomputes
-    through the jnp formulation, so gradients match the jnp path."""
+    """tps_warp(use_pallas=True) is trainable: its custom VJP runs the
+    dense bilinear-gather gradient in a Pallas kernel
+    (tps_bilinear_warp_bwd_pallas) and the small solve chain through the
+    XLA vjp, so gradients must match the jnp path."""
 
     def test_gradients_match_jnp_path(self):
         r = np.random.RandomState(11)

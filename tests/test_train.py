@@ -180,6 +180,18 @@ class TestExecutorEndToEnd:
         assert os.path.exists(os.path.join(conf.folder, "training.csv"))
         assert os.path.exists(os.path.join(conf.folder, "training_loss.png"))
         assert os.path.exists(os.path.join(conf.folder, "models", "segmentor.npz"))
+        # per-epoch test_error.txt (image_callback.py:64-66): one
+        # "epoch, -dice" line per epoch
+        err = os.path.join(conf.folder, "test_error.txt")
+        assert os.path.exists(err)
+        with open(err) as f:
+            lines = f.read().strip().splitlines()
+        assert len(lines) == 2 and lines[0].startswith("0, ")
+        # intensity-augmented epoch grid (image_callback.py:80-85) under
+        # <folder>/training/
+        assert os.path.exists(
+            os.path.join(conf.folder, "training", "segmentations_epoch_1.png")
+        )
 
     def test_mmsdnet_one_epoch_and_test(self, tmp_path):
         conf = self._conf("mmsdnet")
