@@ -79,6 +79,14 @@ class ExperimentConfig:
     # jax_debug_nans in a debug run.
     profile_epochs: Tuple[int, int] = (0, 0)   # (start, end), end=0 disables
     debug_nans: bool = False
+    # Heavy-artifact cadence (epochs). 1 = every epoch, reference parity
+    # (dafnet_executor.py:253-261). Long runs on a remote-relay backend
+    # raise these: per-epoch image grids and the per-component npz export
+    # each download megabytes through the host link. The Orbax checkpoint
+    # (resume safety) still saves every epoch regardless, and the npz
+    # export always also runs at the final epoch / early stop.
+    image_callback_interval: int = 1
+    component_save_interval: int = 1
     # Volumetric stretch path (BASELINE.json configs[4]; models/volumetric.py):
     # (D, H, W, sequences) per study and the 3-D UNet width/depth. Unused by
     # the 2-D CHAOS presets.

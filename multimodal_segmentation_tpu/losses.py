@@ -30,6 +30,23 @@ def _f32(x):
 
 # ---------------- evaluation (numpy, host-side) ----------------
 
+def dice_jax(y_true, y_pred, binarise=False, smooth=1e-12):
+    """On-device dice_np: identical math (costs.py:31-41), jnp scalar out.
+
+    Used by per-epoch validation so only the Dice scalar crosses the
+    host<->device boundary instead of the full prediction volumes (the
+    reference downloads predictions and scores in numpy every epoch,
+    dafnet_executor.py:303-367 — a host round-trip the TPU rebuild avoids).
+    """
+    y_true = _f32(y_true)
+    y_pred = _f32(y_pred)[..., 0 : y_true.shape[-1]]
+    if binarise:
+        y_pred = jnp.round(y_pred)
+    inter = jnp.sum(y_true * y_pred, axis=(1, 2, 3))
+    union = jnp.sum(y_true, axis=(1, 2, 3)) + jnp.sum(y_pred, axis=(1, 2, 3))
+    return jnp.mean((2.0 * inter + smooth) / (union + smooth))
+
+
 def dice_np(y_true, y_pred, binarise=False, smooth=1e-12):
     """Volume-mean Dice (numpy eval metric, costs.py:31-41)."""
     y_true = np.asarray(y_true)

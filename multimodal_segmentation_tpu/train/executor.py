@@ -52,6 +52,11 @@ class Executor:
         self._predict_mask = jax.jit(
             model.predict_mask, static_argnums=(2, 3)
         )
+        # on-device eval Dice: only the scalar crosses the relay each epoch
+        self._dice_bin = jax.jit(
+            lambda m, y: losses.dice_jax(m, y, binarise=True)
+        )
+        self._val_arrays = None
 
     # ---------------------------------------------------------------- data
 
@@ -283,16 +288,21 @@ class Executor:
                 ) as f:
                     f.write("%d, %.3f\n" % (epoch, logs["val_loss"] - 1.0))
 
-            if img_cb is not None:
+            img_every = max(1, getattr(conf, "image_callback_interval", 1))
+            if img_cb is not None and epoch % img_every == 0:
                 img_cb.on_epoch_end(
                     epoch, *self.params_for_eval(ts)
                 )
             self.ckpt.save(epoch, ts)
-            self.ckpt.save_component_weights(
-                os.path.join(conf.folder, "models"), self.params_for_eval(ts)[0]
-            )
+            comp_every = max(1, getattr(conf, "component_save_interval", 1))
+            stopping = es.update(epoch, logs)
+            if epoch % comp_every == 0 or stopping or epoch + 1 == conf.epochs:
+                self.ckpt.save_component_weights(
+                    os.path.join(conf.folder, "models"),
+                    self.params_for_eval(ts)[0],
+                )
 
-            if es.update(epoch, logs):
+            if stopping:
                 log.info("Finished training from early stopping criterion")
                 ts = self.on_train_end(ts)
                 self.ckpt.save(epoch + 1, ts)
@@ -320,34 +330,48 @@ class Executor:
 
     # ---------------------------------------------------------- validation
 
-    def _validation_masks(self, params, state):
+    def _validation_arrays(self):
+        """Device-resident validation set; the split is fixed, so the
+        upload happens once (re-randomised each epoch under
+        conf.randomise, matching dafnet_executor.py:317)."""
         conf = self.conf
+        randomise = getattr(conf, "randomise", False)
+        if self._val_arrays is not None and not randomise:
+            return self._val_arrays
         valid = self.loader.load_all_modalities_concatenated(
             conf.split, "validation", conf.image_downsample
         )
-        if getattr(conf, "randomise", False):
+        if randomise:
             valid.randomise_pairs(length=conf.n_pairs - 1)
         valid.crop(conf.input_hw)
-        images0 = jnp.asarray(valid.get_images_modi(0), jnp.float32)
-        images1 = jnp.asarray(valid.get_images_modi(1), jnp.float32)
-        masks0 = valid.get_masks_modi(0)
-        masks1 = valid.get_masks_modi(1)
+        arrays = (
+            jnp.asarray(valid.get_images_modi(0), jnp.float32),
+            jnp.asarray(valid.get_images_modi(1), jnp.float32),
+            jnp.asarray(valid.get_masks_modi(0), jnp.float32),
+            jnp.asarray(valid.get_masks_modi(1), jnp.float32),
+        )
+        self._val_arrays = arrays
+        return arrays
+
+    def _validation_masks(self, params, state):
+        images0, images1, masks0, masks1 = self._validation_arrays()
         preds = {}
         for t in ("simple", "def", "max"):
-            preds[("mod2", t)] = np.asarray(
-                self._predict_mask(params, state, 1, t, [images0, images1])
+            preds[("mod2", t)] = self._predict_mask(
+                params, state, 1, t, [images0, images1]
             )
-            preds[("mod1", t)] = np.asarray(
-                self._predict_mask(params, state, 0, t, [images0, images1])
+            preds[("mod1", t)] = self._predict_mask(
+                params, state, 0, t, [images0, images1]
             )
         return masks0, masks1, preds
 
     def validate(self, ts):
         """DAFNet-style validation losses (dafnet_executor.py:303-354);
-        MMSDNetExecutor overrides with its 4-metric variant."""
+        MMSDNetExecutor overrides with its 4-metric variant. Dice is
+        computed on device (losses.dice_jax); only scalars reach the host."""
         params, state = self.params_for_eval(ts)
         masks0, masks1, p = self._validation_masks(params, state)
-        d = lambda m, y: 1 - losses.dice_np(m, y, binarise=True)
+        d = lambda m, y: 1 - float(self._dice_bin(m, y))
         logs = {
             "val_loss_mod1": d(masks0, p[("mod1", "simple")]),
             "val_loss_mod2": d(masks1, p[("mod2", "simple")]),
@@ -497,10 +521,11 @@ class MMSDNetExecutor(Executor):
         return ts
 
     def validate(self, ts):
-        """4-metric validation (mmsdnet_executor.py:210-236)."""
+        """4-metric validation (mmsdnet_executor.py:210-236), Dice on
+        device."""
         params, state = self.params_for_eval(ts)
         masks0, masks1, p = self._validation_masks(params, state)
-        d = lambda m, y: 1 - losses.dice_np(m, y, binarise=True)
+        d = lambda m, y: 1 - float(self._dice_bin(m, y))
         logs = {
             "val_loss_mod1": d(masks0, p[("mod1", "simple")]),
             "val_loss_mod2": d(masks1, p[("mod2", "simple")]),

@@ -47,6 +47,18 @@ class TestDice:
         val = losses.dice_loss(jnp.asarray(t), jnp.asarray(t))
         assert float(val) < 1e-5
 
+    def test_dice_jax_matches_dice_np(self):
+        # on-device eval Dice (used by per-epoch validation) must equal
+        # the numpy reference metric, binarised and not
+        t = _rand((3, 8, 8, 4), 5, binary=True)
+        p = _rand((3, 8, 8, 5), 6)
+        for binarise in (False, True):
+            np.testing.assert_allclose(
+                float(losses.dice_jax(jnp.asarray(t), jnp.asarray(p), binarise=binarise)),
+                losses.dice_np(t, p, binarise=binarise),
+                rtol=1e-5,
+            )
+
 
 class TestSwappedArgBCE:
     """The reference calls weighted_cross_entropy_loss with swapped args

@@ -45,6 +45,11 @@ def main():
     conf.folder = args.folder
     if args.bf16:
         conf.compute_dtype = "bfloat16"
+    # heavy artifacts every 10 epochs: image grids + per-component npz
+    # each pull megabytes through the remote relay; training dynamics
+    # (SWA, early stop, checkpoint rotation) are unaffected.
+    conf.image_callback_interval = 10
+    conf.component_save_interval = 10
 
     model = build_model(conf)
     ex = make_executor(conf, model)
