@@ -134,9 +134,10 @@ class DAFNet:
         state = self.components.merge_state(state, "enc_anatomy", new_st)
         return s1, s2, state
 
-    def segment(self, params, state, s, train=False, update=False):
+    def segment(self, params, state, s, train=False, update=False, groups=1):
         m, new_st, _ = self.components.apply(
-            "segmentor", params, state, s, train=train, update_state=update
+            "segmentor", params, state, s, train=train, update_state=update,
+            groups=groups,
         )
         state = self.components.merge_state(state, "segmentor", new_st)
         return m, state
@@ -189,44 +190,65 @@ class DAFNet:
         z1_in, z2_in = batch["z1"], batch["z2"]
         r1, r2, r3, r4 = jax.random.split(rng, 4)
         nm = conf.num_masks
+        cat = lambda xs: jnp.concatenate(xs, axis=0)
+        split = lambda x, n: jnp.split(x, n, axis=0)
+
+        # Every component the reference applies K times per batch runs here
+        # as ONE call on the batch-concatenated inputs: identical math
+        # (decoder/fuser/VAE/discriminators are per-sample; the segmentor
+        # keeps per-invocation BN statistics via grouped BN) in K-times
+        # fewer, K-times larger XLA kernels — the TPU-native shape of the
+        # reference's 18-output trainer (models/dafnet.py:163-222).
 
         s1, s2, state = self.encode_anatomies(params, state, x1, x2, True, True)
-        z1, _, _, kl1 = self.encode_modality(params, state, s1, x1, r1, True)
-        z2, _, _, kl2 = self.encode_modality(params, state, s2, x2, r2, True)
 
-        m1, state = self.segment(params, state, s1, True, True)
-        m2, state = self.segment(params, state, s2, True, True)
-        y1 = self.decode(params, state, s1, z1, True)
-        y2 = self.decode(params, state, s2, z2, True)
+        # both TPS fusion directions in one LocNet/warp call
+        s_def, _ = self.fuse(params, state, cat([s1, s2]), cat([s2, s1]), True)
+        s1_def, s2_def = split(s_def, 2)
 
-        adv_m1 = self.discriminate(params, state, "d_mask", m1[..., :nm])
-        adv_m2 = self.discriminate(params, state, "d_mask", m2[..., :nm])
-        adv_y1 = self.discriminate(params, state, "d_image1", y1)
-        adv_y2 = self.discriminate(params, state, "d_image2", y2)
+        # modality VAE over both modalities at once
+        z, _, _, kl = self.encode_modality(
+            params, state, cat([s1, s2]), cat([x1, x2]), r1, True
+        )
+        z1, z2 = split(z, 2)
+        kl1, kl2 = split(kl, 2)
 
-        s1_def, _ = self.fuse(params, state, s1, s2, True)
-        s2_def, _ = self.fuse(params, state, s2, s1, True)
+        # all four segmentations in one call (per-invocation BN stats kept)
+        m, state = self.segment(
+            params, state, cat([s1, s2, s2_def, s1_def]), True, True, groups=4
+        )
+        m1, m2, m1_s2_def, m2_s1_def = split(m, 4)
 
-        m2_s1_def, state = self.segment(params, state, s1_def, True, True)
-        m1_s2_def, state = self.segment(params, state, s2_def, True, True)
-        y2_s1_def = self.decode(params, state, s1_def, z2, True)
-        y1_s2_def = self.decode(params, state, s2_def, z1, True)
+        # all six decodes in one call (InstanceNorm/FiLM are per-sample)
+        y = self.decode(
+            params,
+            state,
+            cat([s1, s2, s2_def, s1_def, s1, s2]),
+            cat([z1, z2, z1, z2, z1_in, z2_in]),
+            True,
+        )
+        y1, y2, y1_s2_def, y2_s1_def, y1_zin, y2_zin = split(y, 6)
 
-        adv_m2_def = self.discriminate(params, state, "d_mask", m2_s1_def[..., :nm])
-        adv_m1_def = self.discriminate(params, state, "d_mask", m1_s2_def[..., :nm])
-        adv_y2_def = self.discriminate(params, state, "d_image2", y2_s1_def)
-        adv_y1_def = self.discriminate(params, state, "d_image1", y1_s2_def)
+        # adversarial forwards: one call per discriminator
+        adv_m = self.discriminate(
+            params, state, "d_mask",
+            cat([m1, m2, m1_s2_def, m2_s1_def])[..., :nm],
+        )
+        adv_m1, adv_m2, adv_m1_def, adv_m2_def = split(adv_m, 4)
+        adv_y1, adv_y1_def = split(
+            self.discriminate(params, state, "d_image1", cat([y1, y1_s2_def])), 2
+        )
+        adv_y2, adv_y2_def = split(
+            self.discriminate(params, state, "d_image2", cat([y2, y2_s1_def])), 2
+        )
 
         # Z-regressor branch (models/dafnet.py:336-350, wired at :210-213):
         # decode from a *sampled* z, re-encode, regress the sample back.
-        y1_zin = self.decode(params, state, s1, z1_in, True)
-        y2_zin = self.decode(params, state, s2, z2_in, True)
-        _, z1_rec, _, _ = self.encode_modality(
-            params, state, s1, y1_zin, r3, True, sample=False
+        _, z_rec, _, _ = self.encode_modality(
+            params, state, cat([s1, s2]), cat([y1_zin, y2_zin]), r3, True,
+            sample=False,
         )
-        _, z2_rec, _, _ = self.encode_modality(
-            params, state, s2, y2_zin, r4, True, sample=False
-        )
+        z1_rec, z2_rec = split(z_rec, 2)
 
         # ---- losses (dafnet.py:145-161 loss/weight dicts) ----
         m1_t = batch.get("m1")
@@ -432,10 +454,13 @@ class DAFNet:
         (model_executors/dafnet_executor.py:524-543): per modality the simple
         and the cross-deformed segmentation, concatenated then subsampled."""
         nm = self.conf.num_masks
-        m1_hat, _ = self.segment(params, state, s1, False, False)
-        m2_hat, _ = self.segment(params, state, s2, False, False)
-        m1_from_s2, _ = self.segment(params, state, s2_def, False, False)
-        m2_from_s1, _ = self.segment(params, state, s1_def, False, False)
+        # one eval-mode segmentor call on all four anatomies (running BN
+        # stats: concatenation is exact)
+        m_all, _ = self.segment(
+            params, state,
+            jnp.concatenate([s1, s2, s2_def, s1_def], axis=0), False, False,
+        )
+        m1_hat, m2_hat, m1_from_s2, m2_from_s1 = jnp.split(m_all, 4, axis=0)
         pool1 = jnp.concatenate([m1_hat[..., :nm], m1_from_s2[..., :nm]], axis=0)
         pool2 = jnp.concatenate([m2_hat[..., :nm], m2_from_s1[..., :nm]], axis=0)
         idx1 = jax.random.choice(r1, pool1.shape[0], (B,), replace=False)
@@ -447,8 +472,13 @@ class DAFNet:
         the fused train step uses make_fake_pools so the generator forward
         over the D-pool images runs once per step, not twice)."""
         s1, s2, _ = self.encode_anatomies(params, state, x1, x2, False, False)
-        s2_def, _ = self.fuse(params, state, s2, s1, False)
-        s1_def, _ = self.fuse(params, state, s1, s2, False)
+        s_def, _ = self.fuse(
+            params, state,
+            jnp.concatenate([s1, s2], axis=0),
+            jnp.concatenate([s2, s1], axis=0),
+            False,
+        )
+        s1_def, s2_def = jnp.split(s_def, 2, axis=0)
         r1, r2 = jax.random.split(rng)
         return self._fake_mask_pools(
             params, state, s1, s2, s1_def, s2_def, r1, r2, x1.shape[0]
@@ -469,33 +499,38 @@ class DAFNet:
         B = x1.shape[0]
         r1, r2, r3, r4, r5, r6 = jax.random.split(rng, 6)
         s1, s2, _ = self.encode_anatomies(params, state, x1, x2, False, False)
-        s1_def, _ = self.fuse(params, state, s1, s2, False)
-        s2_def, _ = self.fuse(params, state, s2, s1, False)
+        # both fusion directions in one LocNet/warp call
+        s_def, _ = self.fuse(
+            params, state,
+            jnp.concatenate([s1, s2], axis=0),
+            jnp.concatenate([s2, s1], axis=0),
+            False,
+        )
+        s1_def, s2_def = jnp.split(s_def, 2, axis=0)
 
         fake_m1, fake_m2 = self._fake_mask_pools(
             params, state, s1, s2, s1_def, s2_def, r1, r2, B
         )
 
         # image pools: three reconstruction variants per modality
-        # (dafnet_executor.py:555-570), subsampled to batch size
-        z1, _, _, _ = self.encode_modality(params, state, s1, x1, r3, False)
-        z2, _, _, _ = self.encode_modality(params, state, s2, x2, r4, False)
-        y1_pool = jnp.concatenate(
-            [
-                self.decode(params, state, s1, z1, False),
-                self.decode(params, state, s2_def, z1, False),
-                self.decode(params, state, s1_def, z1, False),
-            ],
-            axis=0,
+        # (dafnet_executor.py:555-570), subsampled to batch size; the VAE
+        # and all six decodes run as one batched call each
+        z, _, _, _ = self.encode_modality(
+            params, state,
+            jnp.concatenate([s1, s2], axis=0),
+            jnp.concatenate([x1, x2], axis=0),
+            r3, False,
         )
-        y2_pool = jnp.concatenate(
-            [
-                self.decode(params, state, s2, z2, False),
-                self.decode(params, state, s1_def, z2, False),
-                self.decode(params, state, s2_def, z2, False),
-            ],
-            axis=0,
+        z1, z2 = jnp.split(z, 2, axis=0)
+        y_all = self.decode(
+            params, state,
+            jnp.concatenate([s1, s2_def, s1_def, s2, s1_def, s2_def], axis=0),
+            jnp.concatenate([z1, z1, z1, z2, z2, z2], axis=0),
+            False,
         )
+        parts = jnp.split(y_all, 6, axis=0)
+        y1_pool = jnp.concatenate(parts[:3], axis=0)
+        y2_pool = jnp.concatenate(parts[3:], axis=0)
         fake_y1 = jnp.take(
             y1_pool, jax.random.choice(r5, y1_pool.shape[0], (B,), replace=False),
             axis=0,
@@ -515,12 +550,15 @@ class DAFNet:
         between (train/steps.py::DAFNetSteps). The spectral penalty (Keras
         kernel regularizer) is counted once per fit, as in the reference."""
         params = {**other_params, **d_params}
-        d_real, penalty, state = self.discriminate(
-            params, state, "d_mask", real_m, collect_spectral=True
+        # real and fake scored in ONE discriminator call (no norm layers:
+        # concatenation is exact); spectral power iteration runs once per
+        # call = once per reference fit
+        d_all, penalty, state = self.discriminate(
+            params, state, "d_mask",
+            jnp.concatenate([real_m, jax.lax.stop_gradient(fake_m)], axis=0),
+            collect_spectral=True,
         )
-        d_fake = self.discriminate(
-            params, state, "d_mask", jax.lax.stop_gradient(fake_m)
-        )
+        d_real, d_fake = jnp.split(d_all, 2, axis=0)
         loss = losses.lsgan_disc(d_real, d_fake) + penalty
         return loss, ({"dis_M": loss}, state)
 
@@ -545,14 +583,17 @@ class DAFNet:
         params = {**other_params, **d_params}
         y1 = jax.lax.stop_gradient(y1)
         y2 = jax.lax.stop_gradient(y2)
-        d1_real, p1, state = self.discriminate(
-            params, state, "d_image1", x1, collect_spectral=True
+        # real+fake in one call per discriminator (no norm layers: exact)
+        d1, p1, state = self.discriminate(
+            params, state, "d_image1",
+            jnp.concatenate([x1, y1], axis=0), collect_spectral=True,
         )
-        d1_fake = self.discriminate(params, state, "d_image1", y1)
-        d2_real, p2, state = self.discriminate(
-            params, state, "d_image2", x2, collect_spectral=True
+        d1_real, d1_fake = jnp.split(d1, 2, axis=0)
+        d2, p2, state = self.discriminate(
+            params, state, "d_image2",
+            jnp.concatenate([x2, y2], axis=0), collect_spectral=True,
         )
-        d2_fake = self.discriminate(params, state, "d_image2", y2)
+        d2_real, d2_fake = jnp.split(d2, 2, axis=0)
 
         loss1 = losses.lsgan_disc(d1_real, d1_fake) + p1
         loss2 = losses.lsgan_disc(d2_real, d2_fake) + p2

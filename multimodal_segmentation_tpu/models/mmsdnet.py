@@ -109,9 +109,10 @@ class MMSDNet:
         state = self.components.merge_state(state, name, new_st)
         return s, state
 
-    def segment(self, params, state, s, train=False, update=False):
+    def segment(self, params, state, s, train=False, update=False, groups=1):
         m, new_st, _ = self.components.apply(
-            "segmentor", params, state, s, train=train, update_state=update
+            "segmentor", params, state, s, train=train, update_state=update,
+            groups=groups,
         )
         state = self.components.merge_state(state, "segmentor", new_st)
         return m, state
@@ -159,38 +160,48 @@ class MMSDNet:
         x1, x2 = batch["x1"], batch["x2"]
         keys = jax.random.split(rng, 6)
 
+        cat = lambda xs: jnp.concatenate(xs, axis=0)
+        split = lambda x, n: jnp.split(x, n, axis=0)
+
+        # As in DAFNet, every component the reference applies K times per
+        # batch runs as ONE concatenated call (per-invocation BN statistics
+        # preserved by grouped BN where the component has BatchNorm).
         s1, state = self.encode_anatomy(params, state, 0, x1, True, True)
         s2, state = self.encode_anatomy(params, state, 1, x2, True, True)
-        z1, _, _, kl1 = self.encode_modality(params, state, s1, x1, keys[0], True)
-        z2, _, _, kl2 = self.encode_modality(params, state, s2, x2, keys[1], True)
 
-        m1, state = self.segment(params, state, s1, True, True)
-        m2, state = self.segment(params, state, s2, True, True)
-        y1 = self.decode(params, state, s1, z1, True)
-        y2 = self.decode(params, state, s2, z2, True)
+        # both fusion directions in one LocNet/warp call
+        (s_def, s_fused), _, _ = self.components.apply(
+            "fuser", params, state, cat([s1, s2]), cat([s2, s1]), train=True
+        )
+        s1_def, s2_def = split(s_def, 2)
+        s1_fused, s2_fused = split(s_fused, 2)
 
-        s1_def, s1_fused = self.fuse(params, state, s1, s2, True)
-        s2_def, s2_fused = self.fuse(params, state, s2, s1, True)
+        # all six modality encodings in one VAE call; s1-derived anatomies
+        # pair with x2 (mmsdnet.py:117-124)
+        s_all = cat([s1, s2, s1_def, s1_fused, s2_def, s2_fused])
+        x_pair = cat([x1, x2, x2, x2, x1, x1])
+        z_all, _, _, kl_all = self.encode_modality(
+            params, state, s_all, x_pair, keys[0], True
+        )
+        kl1, kl2, kl_s1def, kl_s1fus, kl_s2def, kl_s2fus = split(kl_all, 6)
 
-        fused_ms = []
-        for s in (s1_def, s1_fused, s2_def, s2_fused):
-            m, state = self.segment(params, state, s, True, True)
-            fused_ms.append(m)
+        # all six segmentations in one grouped call
+        m_all, state = self.segment(params, state, s_all, True, True, groups=6)
+        m1, m2 = split(m_all, 6)[:2]
+        fused_ms = split(m_all, 6)[2:]
 
-        # modality encodings + reconstructions of the deformed/fused
-        # anatomies (mmsdnet.py:117-124): s1-derived ones pair with x2.
-        z_s1def, _, _, kl_s1def = self.encode_modality(params, state, s1_def, x2, keys[2], True)
-        z_s1fus, _, _, kl_s1fus = self.encode_modality(params, state, s1_fused, x2, keys[3], True)
-        z_s2def, _, _, kl_s2def = self.encode_modality(params, state, s2_def, x1, keys[4], True)
-        z_s2fus, _, _, kl_s2fus = self.encode_modality(params, state, s2_fused, x1, keys[5], True)
+        # all six reconstructions in one decoder call
+        y_all = self.decode(params, state, s_all, z_all, True)
+        ys = split(y_all, 6)
+        y1, y2 = ys[0], ys[1]
 
         rec_list = [
             (x1, y1),
             (x2, y2),
-            (x2, self.decode(params, state, s1_def, z_s1def, True)),
-            (x2, self.decode(params, state, s1_fused, z_s1fus, True)),
-            (x1, self.decode(params, state, s2_def, z_s2def, True)),
-            (x1, self.decode(params, state, s2_fused, z_s2fus, True)),
+            (x2, ys[2]),
+            (x2, ys[3]),
+            (x1, ys[4]),
+            (x1, ys[5]),
         ]
 
         m1_t = batch.get("m1")
@@ -214,9 +225,12 @@ class MMSDNet:
         seg = sum(
             losses.restricted_dice_loss(t, p, nm) for t, p in seg_pairs
         )
+        # one discriminator call over all six adversarial masks
+        adv_all = self.discriminate(
+            params, state, cat([m[..., :nm] for m in adv_list])
+        )
         adv_m = sum(
-            losses.lsgan_fool(self.discriminate(params, state, m[..., :nm]))
-            for m in adv_list
+            losses.lsgan_fool(a) for a in split(adv_all, len(adv_list))
         )
         rec = sum(losses.mae(t, p) for t, p in rec_list)
         kl = sum(

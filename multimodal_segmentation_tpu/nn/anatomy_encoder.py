@@ -87,9 +87,29 @@ class DualAnatomyEncoder(nn.Module):
         return s
 
     def __call__(self, x1, x2, train: bool = False):
-        return self._encode(self.down1, x1, train), self._encode(
-            self.down2, x2, train
-        )
+        """Encode both modalities with ONE pass through the shared path.
+
+        The reference applies the shared bottleneck/upsample layers twice
+        (once per modality, anatomy_encoder.py:32-73); here the private
+        down-path outputs are concatenated along batch and the shared path
+        runs once on (2B, ...) — half the kernels — with per-modality
+        BatchNorm statistics preserved via grouped BN (blocks.BatchNorm).
+        """
+        h1, skips1 = self.down1(x1.astype(self.dtype), train)
+        h2, skips2 = self.down2(x2.astype(self.dtype), train)
+        h = jnp.concatenate([h1, h2], axis=0)
+        skips = [
+            jnp.concatenate([a, b], axis=0) for a, b in zip(skips1, skips2)
+        ]
+        h = self.shared_bottleneck(h, train, groups=2)
+        h = self.shared_up(h, skips, train, groups=2)
+        s = nn.softmax(
+            self.shared_out(h).astype(jnp.float32), axis=-1
+        ).astype(self.dtype)
+        if self.rounding:
+            s = round_ste(s)
+        s1, s2 = jnp.split(s, 2, axis=0)
+        return s1, s2
 
     def encode1(self, x, train: bool = False):
         return self._encode(self.down1, x, train)

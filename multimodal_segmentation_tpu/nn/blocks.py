@@ -15,6 +15,80 @@ glorot_uniform = nn.initializers.glorot_uniform()
 glorot_normal = nn.initializers.glorot_normal()
 
 
+class BatchNorm(nn.BatchNorm):
+    """nn.BatchNorm with optional per-group batch statistics.
+
+    The TPU train step batches what the reference runs as SEPARATE Keras
+    layer invocations (e.g. the segmentor applied to 4 anatomy maps, the
+    shared UNet decoder applied to both modalities) into ONE kernel on the
+    concatenated batch — far fewer, larger XLA fusions. Each reference
+    invocation computed BatchNorm statistics over ITS OWN batch, so with
+    `groups=G` the concatenated (G*B, ...) input is normalised with
+    statistics over each B-sized group, reproducing per-invocation stats
+    exactly. Running statistics are updated once with the mean of the
+    group means/vars (equal group sizes: the global batch moments) —
+    vs. the reference's G sequential momentum updates; the fixed point is
+    identical and the transient difference is O((1-momentum)^2). Subclass
+    (not a new module) so the auto-name stays "BatchNorm_N" and parameter
+    trees/checkpoints are unchanged.
+    """
+
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x, use_running_average=None):
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        if self.groups == 1 or use_ra:
+            # eval mode uses running stats: grouping is a no-op, so the
+            # stock implementation (and its variable handling) applies.
+            return super().__call__(x, use_running_average=use_running_average)
+
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (c,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (c,)
+        )
+        scale = (
+            self.param("scale", self.scale_init, (c,), self.param_dtype)
+            if self.use_scale else None
+        )
+        bias = (
+            self.param("bias", self.bias_init, (c,), self.param_dtype)
+            if self.use_bias else None
+        )
+
+        g = self.groups
+        assert x.shape[0] % g == 0, (
+            "grouped BatchNorm needs batch divisible by groups"
+        )
+        xg = x.reshape((g, x.shape[0] // g) + x.shape[1:])
+        xf = xg.astype(jnp.float32)
+        red = tuple(range(1, xf.ndim - 1))
+        mean_g = jnp.mean(xf, red)  # (G, C)
+        var_g = jnp.maximum(
+            jnp.mean(jnp.square(xf), red) - jnp.square(mean_g), 0.0
+        )
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * jnp.mean(mean_g, 0)
+            ra_var.value = m * ra_var.value + (1 - m) * jnp.mean(var_g, 0)
+
+        shape_g = (g,) + (1,) * (xf.ndim - 2) + (c,)
+        y = (xf - mean_g.reshape(shape_g)) * jax.lax.rsqrt(
+            var_g.reshape(shape_g) + self.epsilon
+        )
+        if scale is not None:
+            y = y * scale.astype(jnp.float32)
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        out_dtype = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        return y.reshape(x.shape).astype(out_dtype)
+
+
 def leaky_relu(x, alpha=0.3):
     """Keras LeakyReLU default alpha is 0.3 (used where the reference calls
     LeakyReLU() with no argument, e.g. model_components/modality_encoder.py)."""
@@ -64,15 +138,15 @@ class Norm(nn.Module):
     kind: str = "batch"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, groups: int = 1):
         if self.kind == "batch":
             # BN batch statistics, running stats and scale/bias params stay
             # f32 (flax computes stats in f32 for low-precision inputs);
             # the normalised activation itself stays in the input dtype so
             # bf16 runs do not round-trip f32 tensors through HBM.
-            return nn.BatchNorm(
+            return BatchNorm(
                 use_running_average=not train, momentum=0.99, epsilon=1e-3,
-                dtype=x.dtype,
+                dtype=x.dtype, groups=groups,
             )(x)
         if self.kind == "instance":
             return InstanceNorm()(x)
@@ -87,14 +161,14 @@ class ConvBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, groups: int = 1):
         x = nn.Conv(self.filters, (3, 3), padding="SAME", kernel_init=he_normal,
                     dtype=self.dtype)(x)
-        x = Norm(self.norm)(x, train)
+        x = Norm(self.norm)(x, train, groups)
         x = nn.relu(x)
         x = nn.Conv(self.filters, (3, 3), padding="SAME", kernel_init=he_normal,
                     dtype=self.dtype)(x)
-        x = Norm(self.norm)(x, train)
+        x = Norm(self.norm)(x, train, groups)
         return nn.relu(x)
 
 
@@ -113,11 +187,11 @@ class UpsampleBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, groups: int = 1):
         x = upsample2x(x)
         x = nn.Conv(self.filters, (3, 3), padding="SAME", kernel_init=he_normal,
                     dtype=self.dtype)(x)
-        x = Norm(self.norm)(x, train)
+        x = Norm(self.norm)(x, train, groups)
         if self.activation == "relu":
             return nn.relu(x)
         if self.activation == "leakyrelu":

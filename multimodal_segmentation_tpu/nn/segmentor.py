@@ -8,7 +8,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from multimodal_segmentation_tpu.nn.blocks import he_normal
+from multimodal_segmentation_tpu.nn.blocks import BatchNorm, he_normal
 
 
 class Segmentor(nn.Module):
@@ -16,18 +16,21 @@ class Segmentor(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, s, train: bool = False):
+    def __call__(self, s, train: bool = False, groups: int = 1):
         # BN stats/params stay f32 (flax computes low-precision stats in
         # f32); activations stay in compute dtype to avoid f32 HBM traffic.
+        # `groups`: the train step applies the segmentor to several anatomy
+        # maps in ONE concatenated call; grouped BN (blocks.BatchNorm)
+        # keeps the reference's per-invocation batch statistics.
         x = nn.Conv(64, (3, 3), padding="SAME", kernel_init=he_normal,
                     dtype=self.dtype)(s.astype(self.dtype))
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, dtype=self.dtype)(x)
+        x = BatchNorm(use_running_average=not train, momentum=0.99,
+                      epsilon=1e-3, dtype=self.dtype, groups=groups)(x)
         x = nn.relu(x)
         x = nn.Conv(64, (3, 3), padding="SAME", kernel_init=he_normal,
                     dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, dtype=self.dtype)(x)
+        x = BatchNorm(use_running_average=not train, momentum=0.99,
+                      epsilon=1e-3, dtype=self.dtype, groups=groups)(x)
         x = nn.relu(x)
         x = nn.Conv(self.num_masks + 1, (1, 1), padding="SAME",
                     dtype=self.dtype)(x)

@@ -44,9 +44,9 @@ class UNetBottleneck(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, groups: int = 1):
         flt = self.filters * (2 ** self.downsample)
-        return ConvBlock(flt, self.norm, self.dtype)(x, train)
+        return ConvBlock(flt, self.norm, self.dtype)(x, train, groups)
 
 
 class UNetUp(nn.Module):
@@ -58,13 +58,13 @@ class UNetUp(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, skips: List, train: bool = False):
+    def __call__(self, x, skips: List, train: bool = False, groups: int = 1):
         for level in reversed(range(self.downsample)):
             f = self.filters * (2 ** level)
             x = UpsampleBlock(f, self.norm, activation="linear",
-                              dtype=self.dtype)(x, train)
+                              dtype=self.dtype)(x, train, groups)
             x = jnp.concatenate([x, skips[level]], axis=-1)
-            x = ConvBlock(f, self.norm, self.dtype)(x, train)
+            x = ConvBlock(f, self.norm, self.dtype)(x, train, groups)
         return x
 
 

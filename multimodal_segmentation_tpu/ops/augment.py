@@ -84,7 +84,15 @@ def random_rotate_batch(rng, arrays, rotation_range_deg=20.0):
     if not arrays:
         return arrays
     thetas = random_rotation_angles(rng, arrays[0].shape[0], rotation_range_deg)
-    return [rotate_batch(a, thetas.astype(a.dtype)) for a in arrays]
+    # identical per-sample angles for every array -> concatenate along
+    # channels and rotate once: ONE gather kernel instead of len(arrays)
+    widths = [a.shape[-1] for a in arrays]
+    dt = jnp.result_type(*[a.dtype for a in arrays])
+    cat = jnp.concatenate([a.astype(dt) for a in arrays], axis=-1)
+    out = rotate_batch(cat, thetas.astype(dt))
+    splits = [sum(widths[: i + 1]) for i in range(len(widths) - 1)]
+    outs = jnp.split(out, splits, axis=-1)
+    return [o.astype(a.dtype) for o, a in zip(outs, arrays)]
 
 
 def random_rotate_volumes(rng, volumes, masks, rotation_range_deg=20.0):
