@@ -158,7 +158,10 @@ class MMSDNet:
         params = {**gen_params, **disc_params}
         nm = conf.num_masks
         x1, x2 = batch["x1"], batch["x2"]
-        keys = jax.random.split(rng, 6)
+        # one RNG stream: all six VAE encodings sample in a single batched
+        # call below (the reference's six per-call streams are collapsed;
+        # statistically equivalent)
+        key_z = rng
 
         cat = lambda xs: jnp.concatenate(xs, axis=0)
         split = lambda x, n: jnp.split(x, n, axis=0)
@@ -181,7 +184,7 @@ class MMSDNet:
         s_all = cat([s1, s2, s1_def, s1_fused, s2_def, s2_fused])
         x_pair = cat([x1, x2, x2, x2, x1, x1])
         z_all, _, _, kl_all = self.encode_modality(
-            params, state, s_all, x_pair, keys[0], True
+            params, state, s_all, x_pair, key_z, True
         )
         kl1, kl2, kl_s1def, kl_s1fus, kl_s2def, kl_s2fus = split(kl_all, 6)
 

@@ -95,6 +95,11 @@ class DualAnatomyEncoder(nn.Module):
         runs once on (2B, ...) — half the kernels — with per-modality
         BatchNorm statistics preserved via grouped BN (blocks.BatchNorm).
         """
+        if x1.shape[0] != x2.shape[0]:
+            raise ValueError(
+                "DualAnatomyEncoder requires equal batch sizes per modality: "
+                f"got {x1.shape[0]} vs {x2.shape[0]}"
+            )
         h1, skips1 = self.down1(x1.astype(self.dtype), train)
         h2, skips2 = self.down2(x2.astype(self.dtype), train)
         h = jnp.concatenate([h1, h2], axis=0)

@@ -45,6 +45,20 @@ class BatchNorm(nn.BatchNorm):
             # stock implementation (and its variable handling) applies.
             return super().__call__(x, use_running_average=use_running_average)
 
+        # The grouped path hardcodes feature-axis -1 and plain batch stats;
+        # fail loudly if a caller ever configures the inherited knobs it
+        # does not honour.
+        if self.axis != -1:
+            raise ValueError(
+                f"grouped BatchNorm supports axis=-1 only, got axis={self.axis}"
+            )
+        if self.axis_name is not None:
+            raise ValueError(
+                "grouped BatchNorm does not support axis_name "
+                f"(got {self.axis_name!r}); cross-device stats are handled "
+                "by GSPMD on the concatenated batch"
+            )
+
         c = x.shape[-1]
         ra_mean = self.variable(
             "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (c,)
@@ -62,9 +76,11 @@ class BatchNorm(nn.BatchNorm):
         )
 
         g = self.groups
-        assert x.shape[0] % g == 0, (
-            "grouped BatchNorm needs batch divisible by groups"
-        )
+        if x.shape[0] % g != 0:
+            raise ValueError(
+                f"grouped BatchNorm needs batch divisible by groups: "
+                f"batch={x.shape[0]}, groups={g}"
+            )
         xg = x.reshape((g, x.shape[0] // g) + x.shape[1:])
         xf = xg.astype(jnp.float32)
         red = tuple(range(1, xf.ndim - 1))

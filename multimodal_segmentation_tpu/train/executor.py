@@ -239,10 +239,15 @@ class Executor:
             if self.gen_labelled is not None
             else self.gen_unlabelled.arrays
         )
-        if "x1" in sample_batch:
-            img_cb = TrainingImageCallback(conf.folder, self.model, sample_batch)
-        else:
-            img_cb = None
+        if "x1" not in sample_batch and "x1_pairs" in sample_batch:
+            # Automated pairing: the reference constructs its image callback
+            # in every mode and slices pair 0 — the expertly-paired slice
+            # (dafnet_image_callback.py:75-76; expand_pairs puts it first,
+            # MultimodalPairedData.py:116-119).
+            sample_batch = dict(sample_batch)
+            sample_batch["x1"] = sample_batch["x1_pairs"][..., 0:1]
+            sample_batch["x2"] = sample_batch["x2_pairs"][..., 0:1]
+        img_cb = TrainingImageCallback(conf.folder, self.model, sample_batch)
         es = EarlyStopping(
             "val_loss_mod2_fused", conf.es_min_delta, conf.es_patience
         )

@@ -269,9 +269,20 @@ class TrainingImageCallback:
             rows,
         )
 
+    def _disc_score(self, params, state, name, x):
+        """Mean D output; DAFNet discriminators are addressed by name."""
+        if self.model.__class__.__name__ == "DAFNet":
+            out = self.model.discriminate(params, state, name, x)
+        else:
+            out = self.model.discriminate(params, state, x)
+        return np.asarray(out)
+
     def _plot_discriminator_outputs(self, epoch, params, state, x1, x2):
-        """Histogram of D outputs on real vs fake
-        (dafnet_image_callback.py:193-235)."""
+        """Real-vs-fake discriminator diagnostics
+        (dafnet_image_callback.py:193-235): a 4x2 figure of real masks
+        beside predicted masks, each titled with the mean D_Mask score,
+        plus (DAFNet) real/fake output histograms for both image
+        discriminators on reconstructions."""
         try:
             import matplotlib
 
@@ -280,19 +291,75 @@ class TrainingImageCallback:
         except ImportError:  # pragma: no cover
             return
         import jax
+        import jax.numpy as jnp
+
+        if not (hasattr(self.model, "discriminate") and "d_mask" in params):
+            return
 
         s1, s2 = self._anatomies(params, state, x1, x2)
-        m1, _ = self.model.segment(params, state, s1)
-        nm = m1.shape[-1] - 1
-        if hasattr(self.model, "discriminate") and "d_mask" in params:
-            if self.model.__class__.__name__ == "DAFNet":
-                d_fake = self.model.discriminate(params, state, "d_mask", m1[..., :nm])
-            else:
-                d_fake = self.model.discriminate(params, state, m1[..., :nm])
-            plt.figure()
-            plt.hist(np.asarray(d_fake).ravel(), bins=20)
-            plt.suptitle("D_Mask outputs on generated masks")
-            plt.savefig(
-                os.path.join(self.folder, "discriminator_epoch_%03d.png" % epoch)
+        pred_m, _ = self.model.segment(
+            params, state, jnp.concatenate([s1, s2], axis=0)
+        )
+        pred_m = np.asarray(pred_m)
+        nm = pred_m.shape[-1] - 1
+        real_m = np.asarray(self.batch.get("m2", self.batch["m1"]))[..., :nm]
+        pred_m = pred_m[..., :nm]
+
+        n = min(4, len(real_m), len(pred_m))
+        fig = plt.figure()
+        for i in range(n):
+            d_real = self._disc_score(
+                params, state, "d_mask", jnp.asarray(real_m[i : i + 1])
+            ).mean()
+            d_fake = self._disc_score(
+                params, state, "d_mask", jnp.asarray(pred_m[i : i + 1])
+            ).mean()
+            plt.subplot(n, 2, 2 * i + 1)
+            plt.imshow(
+                np.concatenate([real_m[i, :, :, c] for c in range(nm)], axis=1),
+                cmap="gray",
             )
-            plt.close()
+            plt.xticks([]); plt.yticks([])
+            plt.title("Pred: %.3f" % d_real, fontsize=8)
+            plt.subplot(n, 2, 2 * i + 2)
+            plt.imshow(
+                np.concatenate([pred_m[i, :, :, c] for c in range(nm)], axis=1),
+                cmap="gray",
+            )
+            plt.xticks([]); plt.yticks([])
+            plt.title("Pred: %.3f" % d_fake, fontsize=8)
+        plt.tight_layout()
+        plt.savefig(
+            os.path.join(self.folder, "discriminator_epoch_%03d.png" % epoch)
+        )
+        plt.close(fig)
+
+        # image discriminators (DAFNet only): real images vs reconstructions
+        if "d_image1" not in params:
+            return
+        z1, _, _, _ = self.model.encode_modality(
+            params, state, s1, x1, jax.random.PRNGKey(3)
+        )
+        z2, _, _, _ = self.model.encode_modality(
+            params, state, s2, x2, jax.random.PRNGKey(4)
+        )
+        rec1 = self.model.decode(params, state, s1, z1)
+        rec2 = self.model.decode(params, state, s2, z2)
+        fig = plt.figure()
+        for j, (name, real, fake) in enumerate(
+            (("d_image1", x1, rec1), ("d_image2", x2, rec2))
+        ):
+            d_real = self._disc_score(params, state, name, real).ravel()
+            d_fake = self._disc_score(params, state, name, fake).ravel()
+            plt.subplot(1, 2, j + 1)
+            plt.hist(d_real, bins=20, alpha=0.6, label="real")
+            plt.hist(d_fake, bins=20, alpha=0.6, label="fake")
+            plt.title(name, fontsize=8)
+            plt.legend(fontsize=6)
+        plt.tight_layout()
+        plt.savefig(
+            os.path.join(
+                self.folder, "discriminator_image_epoch_%03d.png" % epoch
+            )
+        )
+        plt.close(fig)

@@ -1,6 +1,7 @@
 """Data-layer tests: containers, alignment table, synthetic fixture, batching."""
 
 import numpy as np
+import pytest
 
 from multimodal_segmentation_tpu.data.batches import BatchStream
 from multimodal_segmentation_tpu.data.chaos_alignment import (
@@ -92,6 +93,41 @@ class TestAlignment:
             i1, i2 = aligned_indices(v, 40, 40)
             assert len(i1) == len(i2), v
             assert len(i1) > 0, v
+
+    # Fixture derived by transcribing the reference's inline slicing
+    # (loaders/chaos.py:110-240) onto index arrays and recording
+    # (len, sum(t1_idx), sum(t2_idx)) per volume at two raw slice-count
+    # settings; aligned_indices matched it element-for-element at
+    # (40,40), (36,38), (30,32) and (44,36). Any edit to ALIGNMENT_OPS
+    # fails this loudly.
+    REF_FIXTURE = {
+        (40, 40): {
+            1: (20, 264, 290), 2: (17, 224, 193), 3: (14, 256, 217),
+            5: (16, 237, 190), 8: (21, 372, 336), 10: (19, 486, 266),
+            13: (25, 400, 375), 15: (22, 231, 231), 19: (19, 323, 266),
+            20: (19, 209, 209), 21: (16, 168, 200), 22: (17, 280, 211),
+            31: (16, 232, 209), 32: (27, 486, 432), 33: (28, 574, 519),
+            34: (19, 253, 209), 36: (17, 272, 219), 37: (27, 607, 495),
+            38: (15, 240, 240), 39: (19, 228, 228),
+        },
+        (30, 32): {
+            1: (20, 264, 290), 2: (17, 224, 193), 3: (14, 256, 217),
+            5: (16, 237, 190), 8: (20, 344, 310), 10: (12, 250, 126),
+            13: (25, 400, 375), 15: (22, 231, 231), 19: (19, 323, 266),
+            20: (19, 209, 209), 21: (16, 168, 200), 22: (17, 280, 211),
+            31: (16, 232, 209), 32: (25, 425, 375), 33: (18, 279, 234),
+            34: (19, 253, 209), 36: (17, 272, 219), 37: (19, 347, 267),
+            38: (15, 240, 240), 39: (19, 228, 228),
+        },
+    }
+
+    @pytest.mark.parametrize("volume", sorted(ALIGNMENT_OPS))
+    def test_exact_reference_alignment_per_volume(self, volume):
+        for (n1, n2), table in self.REF_FIXTURE.items():
+            i1, i2 = aligned_indices(volume, n1, n2)
+            n, s1, s2 = table[volume]
+            assert (len(i1), len(i2)) == (n, n), (volume, n1, n2)
+            assert (int(i1.sum()), int(i2.sum())) == (s1, s2), (volume, n1, n2)
 
 
 class TestSynthetic:

@@ -62,6 +62,22 @@ class TestAutomatedPairing:
         assert int(ts.step) == 1
         # balancer must now receive gradient
         ts0_params, _ = build_model(conf).init(jax.random.PRNGKey(conf.seed))
+        # the image callback runs under automated pairing too, fed pair-0
+        # slices as x1/x2 (dafnet_executor.py:186-198,
+        # dafnet_image_callback.py:75-76)
+        imgs = os.path.join(conf.folder, "training_images")
+        assert os.path.exists(
+            os.path.join(imgs, "anatomies_epoch_000.png")
+        )
+        assert os.path.exists(
+            os.path.join(imgs, "segmentations_epoch_000.png")
+        )
+        assert os.path.exists(
+            os.path.join(imgs, "reconstructions_epoch_000.png")
+        )
+        assert os.path.exists(
+            os.path.join(imgs, "discriminator_epoch_000.png")
+        )
 
     def test_randomise_pairs_path(self, tmp_path):
         conf = _conf(randomise=True)

@@ -48,6 +48,56 @@ class TestGroupedBatchNorm:
             np.asarray(upd_g["batch_stats"]["mean"]), mean_ref, atol=1e-6
         )
 
+    def test_matches_per_group_calls_bf16(self):
+        """Under bf16 compute the grouped path (stats in f32, one cast at
+        the end) and the stock per-call path (flax's f32 stats, dtype-cast
+        output) are numerically close but not bit-identical — lock the
+        realistic tolerance (ADVICE r2)."""
+        G, B, H, W, C = 2, 4, 8, 8, 5
+        x = jax.random.normal(
+            jax.random.PRNGKey(0), (G * B, H, W, C)
+        ).astype(jnp.bfloat16)
+        bn1 = BatchNorm(
+            use_running_average=False, momentum=0.99, epsilon=1e-3,
+            groups=1, dtype=jnp.bfloat16,
+        )
+        v = bn1.init(jax.random.PRNGKey(1), x[:B])
+        ref = jnp.concatenate(
+            [
+                bn1.apply(v, x[g * B:(g + 1) * B], mutable=["batch_stats"])[0]
+                for g in range(G)
+            ],
+            axis=0,
+        )
+        bng = BatchNorm(
+            use_running_average=False, momentum=0.99, epsilon=1e-3,
+            groups=G, dtype=jnp.bfloat16,
+        )
+        got, _ = bng.apply(v, x, mutable=["batch_stats"])
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=0.05, rtol=0.02,
+        )
+
+    def test_grouped_rejects_unsupported_config(self):
+        x = jnp.zeros((4, 8, 8, 5))
+        v = BatchNorm(use_running_average=False, groups=2).init(
+            jax.random.PRNGKey(0), x
+        )
+        with pytest.raises(ValueError, match="axis=-1 only"):
+            BatchNorm(use_running_average=False, groups=2, axis=1).apply(
+                v, x, mutable=["batch_stats"]
+            )
+        with pytest.raises(ValueError, match="axis_name"):
+            BatchNorm(
+                use_running_average=False, groups=2, axis_name="data"
+            ).apply(v, x, mutable=["batch_stats"])
+        with pytest.raises(ValueError, match="divisible by groups"):
+            BatchNorm(use_running_average=False, groups=3).apply(
+                v, x, mutable=["batch_stats"]
+            )
+
     def test_eval_mode_is_stock(self):
         B, H, W, C = 4, 8, 8, 5
         x = jax.random.normal(jax.random.PRNGKey(0), (2 * B, H, W, C))

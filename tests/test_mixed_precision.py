@@ -9,6 +9,8 @@ from multimodal_segmentation_tpu.config import tiny_test_config
 from multimodal_segmentation_tpu.models import build_model
 from tests.test_models import _split_params, make_batch
 
+pytestmark = pytest.mark.slow
+
 
 class TestBF16:
     def test_params_stay_f32(self):

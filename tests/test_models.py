@@ -41,6 +41,7 @@ def make_batch(conf, rng=0):
     }
 
 
+@pytest.mark.slow
 class TestDAFNet:
     def setup_method(self):
         self.conf = tiny_test_config("dafnet")
@@ -154,6 +155,7 @@ class TestDAFNet:
         assert np.isfinite(float(total))
 
 
+@pytest.mark.slow
 class TestMMSDNet:
     def setup_method(self):
         self.conf = tiny_test_config("mmsdnet")
@@ -215,6 +217,7 @@ class TestMMSDNet:
         assert m.shape == (B, H, W, self.conf.num_masks + 1)
 
 
+@pytest.mark.slow
 class TestSpadeDecoder:
     def test_dafnet_spade_forward(self):
         conf = tiny_test_config("dafnet", decoder_type="spade")

@@ -20,6 +20,7 @@ def n_params(tree):
     return sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(tree))
 
 
+@pytest.mark.slow
 class TestParamCounts:
     def test_image_discriminator(self):
         # models/discriminator.py with f=64, 3 blocks, 192x192x1 input:

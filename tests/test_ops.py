@@ -63,6 +63,7 @@ class TestBilinearSample:
         assert np.any(g != 0)
 
 
+@pytest.mark.slow
 class TestTPS:
     def test_control_grid_matches_reference_layout(self):
         # reference layers/stn_spline.py:70-91: row-major (y,x), normalised
@@ -119,6 +120,7 @@ class TestTPS:
         assert np.any(np.abs(g) > 0)
 
 
+@pytest.mark.slow
 class TestSpectral:
     def test_penalty_matches_svd_normalised_target(self):
         rng = np.random.RandomState(3)

@@ -17,6 +17,8 @@ from multimodal_segmentation_tpu.ops.tps import (
     tps_warp,
 )
 
+pytestmark = pytest.mark.slow
+
 
 class TestRoundPallas:
     def test_matches_jnp_round(self):

@@ -15,6 +15,8 @@ from multimodal_segmentation_tpu.parallel.mesh import (
 from multimodal_segmentation_tpu.train.state import create_train_state
 from multimodal_segmentation_tpu.train.steps import make_steps
 
+pytestmark = pytest.mark.slow
+
 
 def _batch(conf, seed=0):
     r = np.random.RandomState(seed)

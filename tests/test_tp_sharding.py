@@ -17,6 +17,8 @@ from multimodal_segmentation_tpu.train.state import create_train_state
 from multimodal_segmentation_tpu.train.steps import make_steps
 from tests.test_parallel import _batch
 
+pytestmark = pytest.mark.slow
+
 
 class TestTPSharding:
     def test_wide_leaves_get_model_axis(self):

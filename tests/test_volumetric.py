@@ -18,6 +18,8 @@ from multimodal_segmentation_tpu.models.volumetric import (
 )
 from multimodal_segmentation_tpu.parallel.mesh import make_mesh
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_conf():
     conf = cardiac_3d()
