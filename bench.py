@@ -82,6 +82,11 @@ def main():
     from multimodal_segmentation_tpu.train.steps import make_steps
 
     conf = dafnet_chaos()
+    # Production TPU configuration: bf16 activations (params, BN/VAE/loss
+    # math stay f32) and the fused Pallas TPS warp. Learning-quality
+    # evidence for this exact configuration: PERF.md round 3 (reference
+    # regime run to early stop + Dice parity).
+    conf.compute_dtype = "bfloat16"
     model = build_model(conf)
     steps = make_steps(model, conf)
     ts = create_train_state(model, conf, jax.random.PRNGKey(0))
@@ -92,7 +97,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "DAFNet fused train step (gen+3 disc updates), batch 6, 192^2, f32, scan-timed on-device",
+                "metric": "DAFNet fused train step (gen+3 disc updates), batch 6, 192^2, bf16 activations + Pallas TPS warp, scan-timed on-device",
                 "value": round(slices_per_sec, 2),
                 "unit": "slices/sec/chip",
                 "vs_baseline": round(slices_per_sec / TITAN_V_EST_SLICES_PER_SEC, 2),

@@ -71,6 +71,13 @@ class ExperimentConfig:
     rotation_range: float = 20.0
     # Mixed precision for the compute path (TPU bf16); params stay f32.
     compute_dtype: str = "float32"
+    # TPS warp implementation: 'auto' (fused Pallas kernel on single-chip
+    # TPU, XLA-gather jnp path elsewhere) | 'pallas' | 'jnp'.
+    tps_impl: str = "auto"
+    # Rematerialise UNet/segmentor conv blocks in the backward (save only
+    # block inputs, recompute norm/relu intermediates). The step is
+    # HBM-bound with the MXU nearly idle, so re-FLOPs are ~free.
+    remat_convs: bool = False
     # Optional cap on batches per epoch (None = full epoch like the
     # reference); used by smoke runs and tests.
     steps_per_epoch: int = 0

@@ -52,11 +52,12 @@ class MMSDNet:
                     out_channels=ae.out_channels,
                     rounding=ae.rounding,
                     dtype=dtype,
+                    remat=getattr(conf, "remat_convs", False),
                 ),
             )
-        c.add("fuser", AnatomyFuser(dtype=dtype))
+        c.add("fuser", AnatomyFuser(dtype=dtype, tps_impl=getattr(conf, "tps_impl", "auto")))
         c.add("enc_modality", ModalityEncoder(conf.num_z, dtype=dtype))
-        c.add("segmentor", Segmentor(conf.num_masks, dtype=dtype))
+        c.add("segmentor", Segmentor(conf.num_masks, dtype=dtype, remat=getattr(conf, "remat_convs", False)))
         c.add("decoder", Decoder(conf.decoder_type, conf.input_hw, dtype=dtype))
         c.add(
             "d_mask",

@@ -27,16 +27,17 @@ class AnatomyEncoder(nn.Module):
     out_channels: int = 8
     rounding: bool = True
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         x, skips = UNetDown(self.filters, self.downsample, self.norm,
-                            self.dtype)(x, train)
+                            self.dtype, self.remat)(x, train)
         x = UNetBottleneck(self.filters, self.downsample, self.norm,
-                           self.dtype)(x, train)
+                           self.dtype, self.remat)(x, train)
         x = UNetUp(self.filters, self.downsample, self.norm,
-                   self.dtype)(x, skips, train)
+                   self.dtype, self.remat)(x, skips, train)
         x = nn.Conv(
             self.out_channels, (1, 1), padding="SAME", name="conv_anatomy",
             dtype=self.dtype,
@@ -62,14 +63,18 @@ class DualAnatomyEncoder(nn.Module):
     out_channels: int = 8
     rounding: bool = True
     dtype: Any = jnp.float32
+    remat: bool = False
 
     def setup(self):
-        self.down1 = UNetDown(self.filters, self.downsample, self.norm, self.dtype)
-        self.down2 = UNetDown(self.filters, self.downsample, self.norm, self.dtype)
+        self.down1 = UNetDown(self.filters, self.downsample, self.norm,
+                              self.dtype, self.remat)
+        self.down2 = UNetDown(self.filters, self.downsample, self.norm,
+                              self.dtype, self.remat)
         self.shared_bottleneck = UNetBottleneck(
-            self.filters, self.downsample, self.norm, self.dtype
+            self.filters, self.downsample, self.norm, self.dtype, self.remat
         )
-        self.shared_up = UNetUp(self.filters, self.downsample, self.norm, self.dtype)
+        self.shared_up = UNetUp(self.filters, self.downsample, self.norm,
+                                self.dtype, self.remat)
         self.shared_out = nn.Conv(
             self.out_channels, (1, 1), padding="SAME", name="conv_anatomy",
             dtype=self.dtype,

@@ -82,27 +82,40 @@ class BatchNorm(nn.BatchNorm):
                 f"batch={x.shape[0]}, groups={g}"
             )
         xg = x.reshape((g, x.shape[0] // g) + x.shape[1:])
-        xf = xg.astype(jnp.float32)
-        red = tuple(range(1, xf.ndim - 1))
-        mean_g = jnp.mean(xf, red)  # (G, C)
+        # Statistics in f32 via reduction inputs only (the casts feed
+        # reductions, so XLA fuses them without materialising an f32 copy
+        # of the activation). The normalisation itself runs in the input
+        # dtype — under bf16 this keeps fwd AND bwd activation traffic
+        # bf16; an f32 normalise-then-cast materialised 2x-wide buffers in
+        # the backward (`convert_subtract` fusions in the compiled step).
+        red = tuple(range(1, xg.ndim - 1))
+        mean_g = jnp.mean(xg.astype(jnp.float32), red)  # (G, C)
         var_g = jnp.maximum(
-            jnp.mean(jnp.square(xf), red) - jnp.square(mean_g), 0.0
+            jnp.mean(jnp.square(xg.astype(jnp.float32)), red)
+            - jnp.square(mean_g),
+            0.0,
         )
         if not self.is_initializing():
             m = self.momentum
             ra_mean.value = m * ra_mean.value + (1 - m) * jnp.mean(mean_g, 0)
             ra_var.value = m * ra_var.value + (1 - m) * jnp.mean(var_g, 0)
 
-        shape_g = (g,) + (1,) * (xf.ndim - 2) + (c,)
-        y = (xf - mean_g.reshape(shape_g)) * jax.lax.rsqrt(
-            var_g.reshape(shape_g) + self.epsilon
-        )
-        if scale is not None:
-            y = y * scale.astype(jnp.float32)
-        if bias is not None:
-            y = y + bias.astype(jnp.float32)
+        # Normalise exactly like flax's _normalize: cast stats/params to the
+        # compute dtype FIRST, then (x - mean) * (rsqrt(var+eps) * scale)
+        # + bias in that dtype — bit-compatible with the stock (groups=1)
+        # path at every dtype.
         out_dtype = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
-        return y.reshape(x.shape).astype(out_dtype)
+        shape_g = (g,) + (1,) * (xg.ndim - 2) + (c,)
+        mean_c = mean_g.reshape(shape_g).astype(out_dtype)
+        var_c = var_g.reshape(shape_g).astype(out_dtype)
+        y = xg.astype(out_dtype) - mean_c
+        mul = jax.lax.rsqrt(var_c + jnp.asarray(self.epsilon, out_dtype))
+        if scale is not None:
+            mul = mul * scale.astype(out_dtype)
+        y = y * mul
+        if bias is not None:
+            y = y + bias.astype(out_dtype)
+        return y.reshape(x.shape)
 
 
 def leaky_relu(x, alpha=0.3):
@@ -170,14 +183,22 @@ class Norm(nn.Module):
 
 
 class ConvBlock(nn.Module):
-    """[Conv3x3(he_normal) -> norm -> relu] x 2 (models/unet.py:94-101)."""
+    """[Conv3x3(he_normal) -> norm -> relu] x 2 (models/unet.py:94-101).
+
+    remat=True rematerialises the block in the backward pass: only the
+    block INPUT is saved; norm/activation intermediates are recomputed
+    from it during the backward. On TPU the UNet step is HBM-bound with
+    the MXU ~idle, so trading conv re-FLOPs for saved-activation traffic
+    is the right direction (PERF.md round 3). The function-wrapping form
+    keeps parameter/variable paths identical to the non-remat module.
+    """
 
     filters: int
     norm: str = "batch"
     dtype: Any = jnp.float32
+    remat: bool = False
 
-    @nn.compact
-    def __call__(self, x, train: bool = False, groups: int = 1):
+    def _body(self, x, train, groups):
         x = nn.Conv(self.filters, (3, 3), padding="SAME", kernel_init=he_normal,
                     dtype=self.dtype)(x)
         x = Norm(self.norm)(x, train, groups)
@@ -186,6 +207,14 @@ class ConvBlock(nn.Module):
                     dtype=self.dtype)(x)
         x = Norm(self.norm)(x, train, groups)
         return nn.relu(x)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, groups: int = 1):
+        if self.remat and train:
+            def body(mdl, x):
+                return mdl._body(x, train, groups)
+            return nn.remat(body)(self, x)
+        return self._body(x, train, groups)
 
 
 def upsample2x(x):
@@ -201,9 +230,9 @@ class UpsampleBlock(nn.Module):
     norm: str = "batch"
     activation: str = "relu"
     dtype: Any = jnp.float32
+    remat: bool = False
 
-    @nn.compact
-    def __call__(self, x, train: bool = False, groups: int = 1):
+    def _body(self, x, train, groups):
         x = upsample2x(x)
         x = nn.Conv(self.filters, (3, 3), padding="SAME", kernel_init=he_normal,
                     dtype=self.dtype)(x)
@@ -213,6 +242,14 @@ class UpsampleBlock(nn.Module):
         if self.activation == "leakyrelu":
             return leaky_relu(x)
         return x  # 'linear'
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, groups: int = 1):
+        if self.remat and train:
+            def body(mdl, x):
+                return mdl._body(x, train, groups)
+            return nn.remat(body)(self, x)
+        return self._body(x, train, groups)
 
 
 def max_pool2(x):

@@ -7,6 +7,7 @@ layers/stn_spline.py:94-118 (build_locnet).
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -47,20 +48,42 @@ class LocNet(nn.Module):
 
 
 class AnatomyFuser(nn.Module):
-    """Deform s1 -> s2 space via TPS-STN; fuse with max (anatomy_fuser.py:28-33)."""
+    """Deform s1 -> s2 space via TPS-STN; fuse with max (anatomy_fuser.py:28-33).
+
+    tps_impl selects the warp implementation:
+      'auto'   — the fused Pallas kernel on a single-chip TPU backend,
+                 the jnp (XLA gather) path elsewhere (CPU tests, virtual
+                 meshes, multi-device runs until the kernel grows a GSPMD
+                 partition rule);
+      'pallas' — force the kernel; 'jnp' — force the gather path.
+    The warp is the step's dominant HBM consumer on TPU via the jnp path
+    (PERF.md round 3), so 'auto' is the production default.
+    """
 
     cp_dims: tuple = (5, 5)
     dtype: Any = jnp.float32
+    tps_impl: str = "auto"
 
     def setup(self):
         self.locnet = LocNet(self.cp_dims[0] * self.cp_dims[1], self.dtype)
 
+    def _use_pallas(self):
+        if self.tps_impl == "pallas":
+            return True
+        if self.tps_impl == "jnp":
+            return False
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
+
     def __call__(self, s1, s2, train: bool = False):
         theta = self.locnet(s1, s2, train)
-        # the TPS solve/warp is precision-sensitive: always f32
+        # the TPS solve/flow is precision-sensitive: always f32; with bf16
+        # activations the bilinear blend runs single-pass bf16 (the warped
+        # output is cast to bf16 anyway)
         s1_def = tps_warp(
             s1.astype(jnp.float32), theta.astype(jnp.float32),
             cp_dims=self.cp_dims,
+            use_pallas=self._use_pallas(),
+            blend_bf16=jnp.dtype(self.dtype) == jnp.bfloat16,
         ).astype(s1.dtype)
         s_fused = jnp.maximum(s1_def, s2)
         return s1_def, s_fused

@@ -14,9 +14,19 @@ from multimodal_segmentation_tpu.nn.blocks import BatchNorm, he_normal
 class Segmentor(nn.Module):
     num_masks: int = 4
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, s, train: bool = False, groups: int = 1):
+        if self.remat and train:
+            # save only the input; recompute conv/BN/relu in the backward
+            # (HBM-bound step, idle MXU — see blocks.ConvBlock.remat)
+            def body(mdl, s):
+                return mdl._body(s, train, groups)
+            return nn.remat(body)(self, s)
+        return self._body(s, train, groups)
+
+    def _body(self, s, train, groups):
         # BN stats/params stay f32 (flax computes low-precision stats in
         # f32); activations stay in compute dtype to avoid f32 HBM traffic.
         # `groups`: the train step applies the segmentor to several anatomy

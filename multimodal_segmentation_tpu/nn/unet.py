@@ -22,6 +22,7 @@ class UNetDown(nn.Module):
     downsample: int = 4
     norm: str = "batch"
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -29,7 +30,8 @@ class UNetDown(nn.Module):
         skips = []
         f = self.filters
         for level in range(self.downsample):
-            s = ConvBlock(f * (2 ** level), self.norm, self.dtype)(x, train)
+            s = ConvBlock(f * (2 ** level), self.norm, self.dtype,
+                          self.remat)(x, train)
             skips.append(s)
             x = max_pool2(s)
         return x, skips
@@ -42,11 +44,13 @@ class UNetBottleneck(nn.Module):
     downsample: int = 4
     norm: str = "batch"
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, groups: int = 1):
         flt = self.filters * (2 ** self.downsample)
-        return ConvBlock(flt, self.norm, self.dtype)(x, train, groups)
+        return ConvBlock(flt, self.norm, self.dtype,
+                         self.remat)(x, train, groups)
 
 
 class UNetUp(nn.Module):
@@ -56,15 +60,16 @@ class UNetUp(nn.Module):
     downsample: int = 4
     norm: str = "batch"
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, skips: List, train: bool = False, groups: int = 1):
         for level in reversed(range(self.downsample)):
             f = self.filters * (2 ** level)
             x = UpsampleBlock(f, self.norm, activation="linear",
-                              dtype=self.dtype)(x, train, groups)
+                              dtype=self.dtype, remat=self.remat)(x, train, groups)
             x = jnp.concatenate([x, skips[level]], axis=-1)
-            x = ConvBlock(f, self.norm, self.dtype)(x, train, groups)
+            x = ConvBlock(f, self.norm, self.dtype, self.remat)(x, train, groups)
         return x
 
 

@@ -78,7 +78,26 @@ round_ste_pallas.defvjp(_round_fwd, _round_bwd)
 # -------------------------------------------------- fused TPS bilinear warp
 
 
-def _warp_kernel(src_ref, w_ref, cp_ref, v_ref, o_ref, *, H, W, C, P):
+def _blend_dot(a, b, blend_bf16):
+    """Blend matmul at selectable precision.
+
+    HIGHEST (f32) runs ~6 MXU passes per dot on TPU; the blend matrices
+    hold bilinear weights in [0,1] (and the channel map is one-hot), so a
+    single bf16 pass loses only ~1e-3 absolute — the precision-critical
+    matmul in this op is the RBF *flow* evaluation, which always stays
+    HIGHEST. bf16 blends make the warp MXU-bound at 1 pass instead of 6.
+    """
+    if blend_bf16:
+        return jnp.dot(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _warp_kernel(src_ref, w_ref, cp_ref, v_ref, o_ref, *, H, W, C, P,
+                 blend_bf16=False):
     """One (batch, point-block) tile: evaluate the TPS flow for P query
     points and bilinearly sample the full-resolution source.
 
@@ -123,8 +142,7 @@ def _warp_kernel(src_ref, w_ref, cp_ref, v_ref, o_ref, *, H, W, C, P):
     a = (rows == y0) * (1.0 - wy1) * in_y0 + (rows == (y0 + 1.0)) * wy1 * in_y1
 
     src = src_ref[0]  # (H, C*W) channel-major flat layout
-    r = jnp.dot(a, src, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)  # (P, C*W)
+    r = _blend_dot(a, src, blend_bf16)  # (P, C*W)
 
     # Column blend built directly at (P, C*W) width in the channel-major
     # layout (r = c*W + w  =>  w = r mod W); avoids lane-repeat ops on
@@ -142,11 +160,11 @@ def _warp_kernel(src_ref, w_ref, cp_ref, v_ref, o_ref, *, H, W, C, P):
     lane = jax.lax.broadcasted_iota(jnp.int32, (W * C, 128), 0) // W
     chan = jax.lax.broadcasted_iota(jnp.int32, (W * C, 128), 1)
     s = (lane == chan).astype(jnp.float32)  # (C*W, 128) one-hot channel map
-    o_ref[0] = jnp.dot(m, s, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)  # (P, 128)
+    o_ref[0] = _blend_dot(m, s, blend_bf16)  # (P, 128)
 
 
-def _warp_bwd_kernel(src_ref, locs_ref, g_ref, gsrc_ref, gloc_ref, *, H, W, C, P):
+def _warp_bwd_kernel(src_ref, locs_ref, locs_t_ref, g_ref, gsrc_ref, gloc_ref,
+                     *, H, W, C, P, blend_bf16=False):
     """Backward of the fused bilinear warp for one (batch, point-block) tile.
 
     Same scatter-as-matmul design as the forward: the gradient scatter into
@@ -155,11 +173,20 @@ def _warp_bwd_kernel(src_ref, locs_ref, g_ref, gsrc_ref, gloc_ref, *, H, W, C, P
     derivatives of the row/column blend matrices — nothing leaves VMEM but
     the two gradient outputs.
 
-    src_ref:  (1, H, C*W) channel-major source image.
-    locs_ref: (1, P, 2) pixel-space sample locations (y, x).
-    g_ref:    (1, P, 128) output cotangent (first C lanes valid, rest zero).
-    gsrc_ref: (1, H, C*W) source gradient, accumulated over the point grid.
-    gloc_ref: (1, P, 128) location gradient (lane 0 = dy, lane 1 = dx).
+    The kernel is deliberately transpose-free: the (H, P) scatter matrix is
+    built directly from a pre-transposed copy of the locations, the one-hot
+    channel map is generated in its used orientation, and the dy gradient
+    uses  sum_l u * (da @ src)  instead of  sum_h (u @ src^T) * da  —
+    Mosaic lowers in-kernel `.T` on large operands to catastrophically slow
+    relayouts (measured 56 -> 310 ms/step fwd+bwd when combined with bf16
+    operands).
+
+    src_ref:    (1, H, C*W) channel-major source image.
+    locs_ref:   (1, P, 2) pixel-space sample locations (y, x).
+    locs_t_ref: (1, 2, P) the same locations, lane-oriented.
+    g_ref:      (1, P, 128) output cotangent (first C lanes valid, rest 0).
+    gsrc_ref:   (1, H, C*W) source gradient, accumulated over the point grid.
+    gloc_ref:   (1, P, 128) location gradient (lane 0 = dy, lane 1 = dx).
     """
     j = pl.program_id(1)
 
@@ -178,6 +205,17 @@ def _warp_bwd_kernel(src_ref, locs_ref, g_ref, gsrc_ref, gloc_ref, *, H, W, C, P
     a = hit_y0 * (1.0 - wy1) + hit_y1 * wy1          # (P, H)
     da = hit_y1 - hit_y0                              # d a / d y
 
+    # transposed scatter matrix, built directly in (H, P) orientation
+    yT = locs_t_ref[0, 0:1, :]                        # (1, P)
+    y0T = jnp.floor(yT)
+    wy1T = yT - y0T
+    rowsT = jax.lax.broadcasted_iota(jnp.int32, (H, P), 0).astype(jnp.float32)
+    in_y0T = ((y0T >= 0) & (y0T <= H - 1)).astype(jnp.float32)
+    in_y1T = ((y0T + 1 >= 0) & (y0T + 1 <= H - 1)).astype(jnp.float32)
+    aT = (rowsT == y0T).astype(jnp.float32) * in_y0T * (1.0 - wy1T) + (
+        rowsT == (y0T + 1.0)
+    ).astype(jnp.float32) * in_y1T * wy1T             # (H, P)
+
     cw = jax.lax.broadcasted_iota(jnp.int32, (P, W * C), 1)
     wpos = jnp.mod(cw, W).astype(jnp.float32)
     in_x0 = ((x0 >= 0) & (x0 <= W - 1)).astype(jnp.float32)
@@ -188,19 +226,17 @@ def _warp_bwd_kernel(src_ref, locs_ref, g_ref, gsrc_ref, gloc_ref, *, H, W, C, P
     dbx = hit_x1 - hit_x0                             # d bx / d x
 
     # expand the per-channel cotangent to the channel-major flat layout:
-    # g_exp[p, c*W + w] = g[p, c]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (W * C, 128), 0) // W
-    chan = jax.lax.broadcasted_iota(jnp.int32, (W * C, 128), 1)
-    s_t = (chan == lane).astype(jnp.float32).T       # (128, C*W)
-    g_exp = jnp.dot(g_ref[0], s_t, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # (P, C*W)
+    # g_exp[p, c*W + w] = g[p, c]; the (128, C*W) map is built directly.
+    chan_t = jax.lax.broadcasted_iota(jnp.int32, (128, W * C), 0)
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (128, W * C), 1) // W
+    s_t = (chan_t == lane_t).astype(jnp.float32)      # (128, C*W)
+    g_exp = _blend_dot(g_ref[0], s_t, blend_bf16)     # (P, C*W)
 
     src = src_ref[0]                                  # (H, C*W)
     u = g_exp * bx                                    # cotangent of r = a @ src
 
-    # source gradient: accumulate a^T @ u over point blocks
-    gsrc_tile = jnp.dot(a.T, u, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # (H, C*W)
+    # source gradient: accumulate aT @ u over point blocks
+    gsrc_tile = _blend_dot(aT, u, blend_bf16)         # (H, C*W)
 
     @pl.when(j == 0)
     def _():
@@ -210,12 +246,11 @@ def _warp_bwd_kernel(src_ref, locs_ref, g_ref, gsrc_ref, gloc_ref, *, H, W, C, P
     def _():
         gsrc_ref[0] = gsrc_ref[0] + gsrc_tile
 
-    # location gradients
-    cot_a = jnp.dot(u, src.T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # (P, H)
-    gy = jnp.sum(cot_a * da, axis=1, keepdims=True)       # (P, 1)
-    r = jnp.dot(a, src, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)      # (P, C*W)
+    # location gradients:
+    # gy[p] = sum_h (u @ src^T)[p,h] * da[p,h] = sum_l u[p,l] * (da @ src)[p,l]
+    dsrc = _blend_dot(da, src, blend_bf16)                # (P, C*W)
+    gy = jnp.sum(u * dsrc, axis=1, keepdims=True)         # (P, 1)
+    r = _blend_dot(a, src, blend_bf16)                    # (P, C*W)
     gx = jnp.sum(g_exp * r * dbx, axis=1, keepdims=True)  # (P, 1)
 
     out_lane = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1)
@@ -224,7 +259,8 @@ def _warp_bwd_kernel(src_ref, locs_ref, g_ref, gsrc_ref, gloc_ref, *, H, W, C, P
     ).astype(jnp.float32)
 
 
-def tps_bilinear_warp_bwd_pallas(vol, locs, g, block_points=256):
+def tps_bilinear_warp_bwd_pallas(vol, locs, g, block_points=256,
+                                 blend_bf16=False):
     """Backward of the fused warp: given vol (B, H, W, C), pixel-space
     sample locations locs (B, H*W, 2) and output cotangent g (B, H, W, C),
     returns (grad_vol, grad_locs)."""
@@ -236,7 +272,8 @@ def tps_bilinear_warp_bwd_pallas(vol, locs, g, block_points=256):
     g_pad = jnp.zeros((B, H * W, 128), jnp.float32)
     g_pad = g_pad.at[:, :, :C].set(g.reshape(B, H * W, C).astype(jnp.float32))
 
-    kernel = functools.partial(_warp_bwd_kernel, H=H, W=W, C=C, P=P)
+    kernel = functools.partial(_warp_bwd_kernel, H=H, W=W, C=C, P=P,
+                               blend_bf16=blend_bf16)
     gsrc, gloc = pl.pallas_call(
         kernel,
         out_shape=[
@@ -247,6 +284,7 @@ def tps_bilinear_warp_bwd_pallas(vol, locs, g, block_points=256):
         in_specs=[
             pl.BlockSpec((1, H, W * C), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, 2), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, P), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, 128), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -256,6 +294,7 @@ def tps_bilinear_warp_bwd_pallas(vol, locs, g, block_points=256):
     )(
         vol.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(B, H, C * W),
         locs.astype(jnp.float32),
+        locs.astype(jnp.float32).transpose(0, 2, 1),  # (B, 2, H*W) lane-major
         g_pad,
     )
     grad_vol = gsrc.reshape(B, H, C, W).transpose(0, 1, 3, 2).astype(vol.dtype)
@@ -263,7 +302,8 @@ def tps_bilinear_warp_bwd_pallas(vol, locs, g, block_points=256):
     return grad_vol, grad_locs
 
 
-def tps_bilinear_warp_pallas(vol, wv, cp_grid, block_points=1024):
+def tps_bilinear_warp_pallas(vol, wv, cp_grid, block_points=1024,
+                             blend_bf16=False):
     """Fused TPS warp: vol (B, H, W, C), wv (B, 28, 2) solved spline
     coefficients, cp_grid (25, 2). Returns (B, H, W, C)."""
     B, H, W, C = vol.shape
@@ -281,7 +321,8 @@ def tps_bilinear_warp_pallas(vol, wv, cp_grid, block_points=1024):
     # control points lane-oriented, sentinel 7.0 keeps phi finite
     cp_t = jnp.full((2, 32), 7.0, cp_grid.dtype).at[:, :n_cp].set(cp_grid.T)
 
-    kernel = functools.partial(_warp_kernel, H=H, W=W, C=C, P=P)
+    kernel = functools.partial(_warp_kernel, H=H, W=W, C=C, P=P,
+                               blend_bf16=blend_bf16)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, H * W, 128), vol.dtype),

@@ -169,25 +169,26 @@ def _tps_warp_jnp(vol, cp_offsets, cp_dims=(5, 5), inverse=False, order=2):
     return warped.reshape(B, H, W, C)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _tps_warp_pallas(vol, cp_offsets, cp_dims, inverse, order):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _tps_warp_pallas(vol, cp_offsets, cp_dims, inverse, order, blend_bf16):
     from multimodal_segmentation_tpu.ops.pallas_kernels import (
         tps_bilinear_warp_pallas,
     )
 
     wv = tps_coefficients(cp_offsets, cp_dims, inverse, order)
     cp_grid = control_grid(list(cp_dims))
-    return tps_bilinear_warp_pallas(vol, wv, cp_grid)
+    return tps_bilinear_warp_pallas(vol, wv, cp_grid, blend_bf16=blend_bf16)
 
 
-def _tps_warp_pallas_fwd(vol, cp_offsets, cp_dims, inverse, order):
-    return _tps_warp_pallas(vol, cp_offsets, cp_dims, inverse, order), (
+def _tps_warp_pallas_fwd(vol, cp_offsets, cp_dims, inverse, order, blend_bf16):
+    return _tps_warp_pallas(vol, cp_offsets, cp_dims, inverse, order,
+                            blend_bf16), (
         vol,
         cp_offsets,
     )
 
 
-def _tps_warp_pallas_bwd(cp_dims, inverse, order, res, g):
+def _tps_warp_pallas_bwd(cp_dims, inverse, order, blend_bf16, res, g):
     """Kernel backward: the dense bilinear-gather VJP (the part where XLA's
     scatter degrades at scale) runs in the Pallas kernel
     (ops/pallas_kernels.py::tps_bilinear_warp_bwd_pallas) as VMEM-resident
@@ -203,7 +204,9 @@ def _tps_warp_pallas_bwd(cp_dims, inverse, order, res, g):
         lambda o: tps_sample_locations(o, (H, W), cp_dims, inverse, order),
         cp_offsets,
     )
-    grad_vol, grad_locs = tps_bilinear_warp_bwd_pallas(vol, locs, g)
+    grad_vol, grad_locs = tps_bilinear_warp_bwd_pallas(
+        vol, locs, g, blend_bf16=blend_bf16
+    )
     (grad_offsets,) = vjp_locs(grad_locs.astype(locs.dtype))
     return grad_vol, grad_offsets
 
@@ -212,17 +215,24 @@ _tps_warp_pallas.defvjp(_tps_warp_pallas_fwd, _tps_warp_pallas_bwd)
 
 
 def tps_warp(vol, cp_offsets, cp_dims=(5, 5), inverse=False, order=2,
-             use_pallas=False):
+             use_pallas=False, blend_bf16=False):
     """Warp a batch of images with a thin-plate-spline deformation.
 
     Args:
       vol: (B, H, W, C) images.
       cp_offsets: (B, n_cp, 2) control-point offsets (normalised, (y, x)).
       use_pallas: route the fused flow+resample through the Pallas kernel
-        (ops/pallas_kernels.py). Differentiable either way: the Pallas
-        path carries a custom VJP that recomputes the backward through
-        the jnp formulation, so it is usable in training (relevant for
-        the large-volume regime where XLA's gather forward degrades).
+        (ops/pallas_kernels.py). Differentiable either way: the kernel
+        carries a custom VJP whose gather/scatter runs as VMEM-resident
+        MXU matmuls. On TPU the kernel path is ~10x the XLA gather path
+        fwd+bwd (the XLA row-gather of 32-byte rows is DMA-bound; the
+        old trace mis-attributed that time to elementwise fusions —
+        see PERF.md round 3).
+      blend_bf16: run the bilinear *blend* matmuls in one bf16 MXU pass
+        instead of 6-pass f32 (~1e-3 absolute error on the warped image;
+        the precision-critical RBF flow matmul stays f32-HIGHEST). The
+        right setting for bf16 training; keep False where exact f32
+        parity with the jnp path matters.
 
     Returns:
       (B, H, W, C) warped images (zeros where sampling falls outside).
@@ -230,5 +240,6 @@ def tps_warp(vol, cp_offsets, cp_dims=(5, 5), inverse=False, order=2,
     Replaces reference layers/stn_spline.py:55-67 (ThinPlateSpline2D.call).
     """
     if use_pallas:
-        return _tps_warp_pallas(vol, cp_offsets, tuple(cp_dims), inverse, order)
+        return _tps_warp_pallas(vol, cp_offsets, tuple(cp_dims), inverse,
+                                order, blend_bf16)
     return _tps_warp_jnp(vol, cp_offsets, cp_dims, inverse, order)

@@ -1,37 +1,76 @@
 """Measure fused-step time for config variants (scan-differenced, on-device).
 
-Usage: python tools/bench_variants.py [dtype ...]   (default: bfloat16 float32)
+Usage:
+    python tools/bench_variants.py [spec ...]
 
-Prints ms/step and slices/s for each variant. Uses the persistent
-compilation cache if JAX_COMPILATION_CACHE_DIR is set.
+Each spec is dtype[:decoder[:batch]], e.g.
+    bfloat16            # film decoder, batch 6
+    bfloat16:spade      # SPADE decoder variant (dafnet_spade_chaos)
+    bfloat16:film:24    # batch-scaling row
+Default specs: bfloat16 float32.
+
+Prints ms/step, slices/s, and MFU (XLA cost-analysis FLOPs / time /
+197 TFLOP/s bf16 peak for v5e). Uses the persistent compilation cache if
+JAX_COMPILATION_CACHE_DIR is set.
 """
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import functools
 
 import jax
 import numpy as np
 
 from bench import make_batch, measure_step_ms
-from multimodal_segmentation_tpu.config import dafnet_chaos
+from multimodal_segmentation_tpu.config import dafnet_chaos, dafnet_spade_chaos
 from multimodal_segmentation_tpu.models import build_model
 from multimodal_segmentation_tpu.train.state import create_train_state
 from multimodal_segmentation_tpu.train.steps import make_steps
 
+V5E_BF16_PEAK = 197e12  # FLOP/s
+
+
+def run(spec):
+    parts = spec.split(":")
+    dtype = parts[0]
+    decoder = parts[1] if len(parts) > 1 else "film"
+    batch = int(parts[2]) if len(parts) > 2 else 6
+    flags = parts[3:] if len(parts) > 3 else []
+    conf = dafnet_spade_chaos() if decoder == "spade" else dafnet_chaos()
+    conf.compute_dtype = dtype
+    conf.batch_size = batch
+    if "remat" in flags:
+        conf.remat_convs = True
+    if "jnpwarp" in flags:
+        conf.tps_impl = "jnp"
+    model = build_model(conf)
+    steps = make_steps(model, conf)
+    ts = create_train_state(model, conf, jax.random.PRNGKey(0))
+    batch_d = make_batch(conf)
+
+    # FLOPs of one step from cost analysis (for MFU)
+    fn = jax.jit(
+        functools.partial(steps._step, supervised=True, automated=False),
+        donate_argnums=(0,),
+    )
+    ca = fn.lower(ts, batch_d).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = ca.get("flops", 0.0)
+    gbytes = ca.get("bytes accessed", 0.0) / 1e9
+
+    ms = measure_step_ms(steps, ts, batch_d)
+    mfu = flops / (ms / 1e3) / V5E_BF16_PEAK
+    print(
+        "%-22s %8.1f ms/step %7.1f slices/s/chip  %5.2f TFLOP %7.1f GB  MFU %5.1f%%"
+        % (spec, ms, conf.batch_size / (ms / 1e3), flops / 1e12, gbytes,
+           100 * mfu),
+        flush=True,
+    )
+
 
 def main():
-    dtypes = sys.argv[1:] or ["bfloat16", "float32"]
-    for dtype in dtypes:
-        conf = dafnet_chaos()
-        conf.compute_dtype = dtype
-        model = build_model(conf)
-        steps = make_steps(model, conf)
-        ts = create_train_state(model, conf, jax.random.PRNGKey(0))
-        batch = make_batch(conf)
-        ms = measure_step_ms(steps, ts, batch)
-        print(
-            "%-10s %8.1f ms/step  %6.1f slices/s/chip"
-            % (dtype, ms, conf.batch_size / (ms / 1e3)),
-            flush=True,
-        )
+    specs = sys.argv[1:] or ["bfloat16", "float32"]
+    for s in specs:
+        run(s)
 
 
 if __name__ == "__main__":
