@@ -26,6 +26,12 @@ import json
 import time
 
 import jax
+
+# Persistent compile cache: the fused-step scan programs take minutes to
+# compile over the remote-dispatch tunnel; warmed by tools/bench_variants.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -144,3 +144,13 @@ class TestDualEncoderSharing:
         s = m.apply(v, jnp.asarray(np.random.RandomState(2).rand(2, 32, 32, 1), jnp.float32))
         vals = np.unique(np.asarray(s))
         assert set(vals.tolist()) <= {0.0, 1.0}
+
+
+def test_fuser_tps_impl_routing():
+    """On the CPU test backend 'auto' must resolve to the jnp path (the
+    Pallas kernel needs a real single-chip TPU); explicit overrides win."""
+    from multimodal_segmentation_tpu.nn.fuser import AnatomyFuser
+
+    assert not AnatomyFuser(tps_impl="auto")._use_pallas()
+    assert AnatomyFuser(tps_impl="pallas")._use_pallas()
+    assert not AnatomyFuser(tps_impl="jnp")._use_pallas()

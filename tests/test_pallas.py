@@ -101,3 +101,50 @@ class TestWarpPallasBackward:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4
             )
+
+
+class TestWarpPallasBf16Blends:
+    """blend_bf16=True runs the bilinear blend matmuls in one bf16 MXU pass
+    (the training default under bf16 compute, nn/fuser.py); the RBF flow
+    matmul stays f32-HIGHEST, so the error budget is the bf16 rounding of
+    blend weights and image values (~1e-2 absolute on O(1) data)."""
+
+    def test_forward_close_to_f32(self):
+        r = np.random.RandomState(5)
+        vol = jnp.asarray(r.rand(2, 16, 16, 8).astype(np.float32))
+        off = jnp.asarray((r.rand(2, 25, 2).astype(np.float32) - 0.5) * 0.05)
+        ref = np.asarray(tps_warp(vol, off))
+        with pltpu.force_tpu_interpret_mode():
+            out = tps_warp(vol, off, use_pallas=True, blend_bf16=True)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2)
+
+    def test_gradients_close_to_f32(self):
+        r = np.random.RandomState(6)
+        vol = jnp.asarray(r.rand(2, 16, 16, 8).astype(np.float32))
+        off = jnp.asarray((r.rand(2, 25, 2).astype(np.float32) - 0.5) * 0.05)
+        tgt = jnp.asarray(r.rand(2, 16, 16, 8).astype(np.float32))
+
+        def loss(fn):
+            return lambda v, o: jnp.mean((fn(v, o) - tgt) ** 2)
+
+        g_ref = jax.grad(loss(lambda v, o: tps_warp(v, o)), argnums=(0, 1))(
+            vol, off
+        )
+        with pltpu.force_tpu_interpret_mode():
+            g_pal = jax.grad(
+                loss(
+                    lambda v, o: tps_warp(
+                        v, o, use_pallas=True, blend_bf16=True
+                    )
+                ),
+                argnums=(0, 1),
+            )(vol, off)
+        # vol grads are O(1e-2); offset grads are large (pixel-scale chain)
+        np.testing.assert_allclose(
+            np.asarray(g_ref[0]), np.asarray(g_pal[0]), atol=2e-2
+        )
+        scale = np.abs(np.asarray(g_ref[1])).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(g_ref[1]) / scale, np.asarray(g_pal[1]) / scale,
+            atol=2e-2,
+        )
