@@ -24,6 +24,7 @@ def main():
     ap.add_argument("epochs", nargs="?", type=int, default=10)
     ap.add_argument("--automatedpairing", action="store_true")
     ap.add_argument("--randomise", action="store_true")
+    ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--folder", default="/tmp/smoke_dafnet")
     args = ap.parse_args()
     epochs = args.epochs
@@ -38,6 +39,8 @@ def main():
     conf.swa_start_epoch = max(2, epochs // 2)
     conf.automatedpairing = args.automatedpairing
     conf.randomise = args.randomise
+    if args.bf16:
+        conf.compute_dtype = "bfloat16"
     conf.folder = args.folder
     shutil.rmtree(conf.folder, ignore_errors=True)
 
