@@ -106,6 +106,25 @@ def main():
     nconv = len(re.findall(r" convolution\(", hlo))
     print("\nfusions: %d  convolutions: %d" % (nfusion, nconv))
 
+    import collections as _c
+    targets = _c.Counter(re.findall(r'custom_call_target="([^"]+)"', hlo))
+    print("\n== custom-call targets ==")
+    for t, n in targets.most_common(10):
+        print("  %5d  %s" % (n, t))
+    # f32 big-buffer producers: which op_names still materialise f32?
+    f32_ops = _c.Counter()
+    for m in re.finditer(r"f32\[(\d+),(\d+),(\d+),(\d+)\][^\n]*metadata=\{op_name=\"([^\"]+)", hlo):
+        dims = [int(m.group(i)) for i in range(1, 5)]
+        n = 1
+        for d in dims:
+            n *= d
+        if n * 4 > 8e6:
+            key = m.group(5)[:110]
+            f32_ops[key] += n * 4
+    print("\n== big f32 buffers by op_name (top 15) ==")
+    for k, b in f32_ops.most_common(15):
+        print("  %8.1f MB  %s" % (b / 1e6, k))
+
 
 if __name__ == "__main__":
     main()
