@@ -28,3 +28,31 @@ class EarlyStopping:
                 self.stopped_epoch = epoch
                 return True
         return False
+
+    def replay_csv(self, csv_path, before_epoch):
+        """Rebuild monitor state from a previous run's training.csv.
+
+        EarlyStopping state is not part of the jitted TrainState (it is
+        host-side, like the Keras callback it mirrors), so on
+        preemption-resume the best/wait counters would otherwise restart
+        at the resume epoch and extend training by up to `patience`
+        epochs. Replaying the logged epochs < before_epoch restores the
+        exact counters the killed run had.
+        """
+        import csv as _csv
+        import os as _os
+
+        if not _os.path.exists(csv_path):
+            return
+        with open(csv_path) as f:
+            for row in _csv.DictReader(f):
+                try:
+                    epoch = int(float(row.get("epoch", "")))
+                except ValueError:
+                    continue
+                if epoch >= before_epoch:
+                    continue
+                val = row.get(self.monitor)
+                if val in (None, ""):
+                    continue
+                self.update(epoch, {self.monitor: float(val)})

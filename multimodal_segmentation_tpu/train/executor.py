@@ -251,6 +251,12 @@ class Executor:
         es = EarlyStopping(
             "val_loss_mod2_fused", conf.es_min_delta, conf.es_patience
         )
+        if start_epoch > 0:
+            # preemption-resume: rebuild the monitor's best/wait counters
+            # from the previous run's epoch log so patience does not
+            # restart at the resume epoch (found by the round-3 kill+resume
+            # drill; see EarlyStopping.replay_csv)
+            es.replay_csv(os.path.join(conf.folder, "training.csv"), start_epoch)
 
         prof_start, prof_end = getattr(conf, "profile_epochs", (0, 0))
         for epoch in range(start_epoch, conf.epochs):

@@ -52,3 +52,26 @@ class TestProfilerTrace:
         for root, _, files in os.walk(trace_dir):
             found += files
         assert found, "no trace files written"
+
+
+def test_early_stopping_replay_csv(tmp_path):
+    """Preemption-resume rebuilds best/wait from training.csv so patience
+    does not restart at the resume epoch (round-3 kill+resume drill)."""
+    from multimodal_segmentation_tpu.train.early_stopping import EarlyStopping
+
+    p = tmp_path / "training.csv"
+    rows = ["epoch,val_loss_mod2_fused"]
+    # improves until epoch 2, then plateaus through epoch 9
+    vals = [0.9, 0.5, 0.1] + [0.1] * 7
+    for e, v in enumerate(vals):
+        rows.append("%d,%f" % (e, v))
+    p.write_text("\n".join(rows) + "\n")
+
+    es = EarlyStopping(min_delta=0.01, patience=10)
+    es.replay_csv(str(p), before_epoch=10)
+    assert es.best == 0.1
+    assert es.wait == 7  # epochs 3..9 without improvement
+
+    fresh = EarlyStopping(min_delta=0.01, patience=10)
+    fresh.replay_csv(str(p), before_epoch=0)  # nothing logged before epoch 0
+    assert fresh.wait == 0 and fresh.best == float("inf")
