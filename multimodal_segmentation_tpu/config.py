@@ -94,6 +94,12 @@ class ExperimentConfig:
     # export always also runs at the final epoch / early stop.
     image_callback_interval: int = 1
     component_save_interval: int = 1
+    # Full-train-state Orbax checkpoint cadence (epochs). 1 = every epoch
+    # (reference parity, dafnet_executor.py:261). On a remote-relay
+    # backend each save device_gets the full state through the host link
+    # (~minutes); long runs raise this. Early stop / final epoch always
+    # checkpoint regardless.
+    checkpoint_interval: int = 1
     # Volumetric stretch path (BASELINE.json configs[4]; models/volumetric.py):
     # (D, H, W, sequences) per study and the 3-D UNet width/depth. Unused by
     # the 2-D CHAOS presets.

@@ -304,9 +304,12 @@ class Executor:
                 img_cb.on_epoch_end(
                     epoch, *self.params_for_eval(ts)
                 )
-            self.ckpt.save(epoch, ts)
+            ckpt_every = max(1, getattr(conf, "checkpoint_interval", 1))
             comp_every = max(1, getattr(conf, "component_save_interval", 1))
             stopping = es.update(epoch, logs)
+            last = epoch + 1 == conf.epochs
+            if epoch % ckpt_every == 0 or stopping or last:
+                self.ckpt.save(epoch, ts)
             if epoch % comp_every == 0 or stopping or epoch + 1 == conf.epochs:
                 self.ckpt.save_component_weights(
                     os.path.join(conf.folder, "models"),

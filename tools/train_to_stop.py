@@ -50,6 +50,9 @@ def main():
     # (SWA, early stop, checkpoint rotation) are unaffected.
     conf.image_callback_interval = 10
     conf.component_save_interval = 10
+    # each Orbax save device_gets the full train state through the relay
+    # (~minutes); resume granularity of 10 epochs is the drill's tradeoff
+    conf.checkpoint_interval = 10
 
     model = build_model(conf)
     ex = make_executor(conf, model)
