@@ -72,7 +72,14 @@ class AnatomyFuser(nn.Module):
             return True
         if self.tps_impl == "jnp":
             return False
-        return jax.default_backend() == "tpu" and jax.device_count() == 1
+        # auto: the kernel wins only with single-pass bf16 blends (f32
+        # HIGHEST blends run 6 MXU passes and lose to the XLA gather,
+        # tools/time_warp.py); mesh runs need a GSPMD rule first.
+        return (
+            jax.default_backend() == "tpu"
+            and jax.device_count() == 1
+            and jnp.dtype(self.dtype) == jnp.bfloat16
+        )
 
     def __call__(self, s1, s2, train: bool = False):
         theta = self.locnet(s1, s2, train)
