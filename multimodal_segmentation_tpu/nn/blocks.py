@@ -15,6 +15,14 @@ glorot_uniform = nn.initializers.glorot_uniform()
 glorot_normal = nn.initializers.glorot_normal()
 
 
+# Training-mode BN implementation for groups=1: 'flax' (stock) or 'own'
+# (the grouped path with g=1 + checkpointed f32 stats casts) — an
+# experiment knob for the BN-residual traffic question (PERF.md round 3).
+import os as _os
+
+_TRAIN_BN_IMPL = _os.environ.get("MMSEG_TRAIN_BN_IMPL", "flax")
+
+
 class BatchNorm(nn.BatchNorm):
     """nn.BatchNorm with optional per-group batch statistics.
 
@@ -40,7 +48,7 @@ class BatchNorm(nn.BatchNorm):
         use_ra = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
-        if self.groups == 1 or use_ra:
+        if use_ra or (self.groups == 1 and _TRAIN_BN_IMPL == "flax"):
             # eval mode uses running stats: grouping is a no-op, so the
             # stock implementation (and its variable handling) applies.
             return super().__call__(x, use_running_average=use_running_average)
@@ -89,12 +97,20 @@ class BatchNorm(nn.BatchNorm):
         # bf16; an f32 normalise-then-cast materialised 2x-wide buffers in
         # the backward (`convert_subtract` fusions in the compiled step).
         red = tuple(range(1, xg.ndim - 1))
-        mean_g = jnp.mean(xg.astype(jnp.float32), red)  # (G, C)
-        var_g = jnp.maximum(
-            jnp.mean(jnp.square(xg.astype(jnp.float32)), red)
-            - jnp.square(mean_g),
-            0.0,
-        )
+
+        def _stats(xg):
+            mean = jnp.mean(xg.astype(jnp.float32), red)  # (G, C)
+            var = jnp.maximum(
+                jnp.mean(jnp.square(xg.astype(jnp.float32)), red)
+                - jnp.square(mean),
+                0.0,
+            )
+            return mean, var
+
+        if _TRAIN_BN_IMPL == "own":
+            # backward recomputes the f32 casts instead of saving them
+            _stats = jax.checkpoint(_stats)
+        mean_g, var_g = _stats(xg)
         if not self.is_initializing():
             m = self.momentum
             ra_mean.value = m * ra_mean.value + (1 - m) * jnp.mean(mean_g, 0)
