@@ -107,6 +107,13 @@ def main():
                 "value": round(slices_per_sec, 2),
                 "unit": "slices/sec/chip",
                 "vs_baseline": round(slices_per_sec / TITAN_V_EST_SLICES_PER_SEC, 2),
+                # The ratio compares bf16-activation TPU training to the
+                # f32 Titan-V estimate (the reference has no mixed-precision
+                # mode to compare against). bf16 is this framework's
+                # production training config with measured learning parity
+                # (PERF.md: reference-regime run to early stop, 0.99 test
+                # Dice); the f32 step time is tracked in PERF.md.
+                "baseline_precision_note": "bf16 TPU vs f32 Titan-V analytic estimate",
             }
         )
     )

@@ -15,14 +15,6 @@ glorot_uniform = nn.initializers.glorot_uniform()
 glorot_normal = nn.initializers.glorot_normal()
 
 
-# Training-mode BN implementation for groups=1: 'flax' (stock) or 'own'
-# (the grouped path with g=1 + checkpointed f32 stats casts) — an
-# experiment knob for the BN-residual traffic question (PERF.md round 3).
-import os as _os
-
-_TRAIN_BN_IMPL = _os.environ.get("MMSEG_TRAIN_BN_IMPL", "flax")
-
-
 class BatchNorm(nn.BatchNorm):
     """nn.BatchNorm with optional per-group batch statistics.
 
@@ -48,21 +40,16 @@ class BatchNorm(nn.BatchNorm):
         use_ra = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
-        if use_ra or (self.groups == 1 and _TRAIN_BN_IMPL == "flax"):
-            # eval mode uses running stats: grouping is a no-op, so the
-            # stock implementation (and its variable handling) applies.
-            return super().__call__(x, use_running_average=use_running_average)
-
-        # The grouped path hardcodes feature-axis -1 and plain batch stats;
-        # fail loudly if a caller ever configures the inherited knobs it
-        # does not honour.
+        # This path hardcodes feature-axis -1 and plain batch stats; fail
+        # loudly if a caller ever configures the inherited knobs it does
+        # not honour.
         if self.axis != -1:
             raise ValueError(
-                f"grouped BatchNorm supports axis=-1 only, got axis={self.axis}"
+                f"BatchNorm here supports axis=-1 only, got axis={self.axis}"
             )
         if self.axis_name is not None:
             raise ValueError(
-                "grouped BatchNorm does not support axis_name "
+                "BatchNorm here does not support axis_name "
                 f"(got {self.axis_name!r}); cross-device stats are handled "
                 "by GSPMD on the concatenated batch"
             )
@@ -83,43 +70,40 @@ class BatchNorm(nn.BatchNorm):
             if self.use_bias else None
         )
 
-        g = self.groups
+        # Every mode (train grouped/ungrouped, eval) normalises in the
+        # compute dtype with f32 statistics — NOT via stock flax, whose
+        # _normalize computes (x - mean) * rsqrt(var + eps) entirely in
+        # f32 and casts to the output dtype only at the end: under bf16
+        # that materialises f32 copies of the largest activations in the
+        # forward AND saves them for the backward (the dominant remaining
+        # f32 HBM traffic in the round-4 copy/HLO analysis). Here the f32
+        # casts feed only reductions (fused, nothing f32 is materialised)
+        # and the elementwise normalise runs at the activation width. At
+        # f32 the math is bit-identical to stock flax.
+        g = 1 if use_ra else self.groups
         if x.shape[0] % g != 0:
             raise ValueError(
                 f"grouped BatchNorm needs batch divisible by groups: "
                 f"batch={x.shape[0]}, groups={g}"
             )
         xg = x.reshape((g, x.shape[0] // g) + x.shape[1:])
-        # Statistics in f32 via reduction inputs only (the casts feed
-        # reductions, so XLA fuses them without materialising an f32 copy
-        # of the activation). The normalisation itself runs in the input
-        # dtype — under bf16 this keeps fwd AND bwd activation traffic
-        # bf16; an f32 normalise-then-cast materialised 2x-wide buffers in
-        # the backward (`convert_subtract` fusions in the compiled step).
         red = tuple(range(1, xg.ndim - 1))
 
-        def _stats(xg):
-            mean = jnp.mean(xg.astype(jnp.float32), red)  # (G, C)
-            var = jnp.maximum(
+        if use_ra:
+            mean_g = ra_mean.value[None]  # (1, C) running statistics
+            var_g = ra_var.value[None]
+        else:
+            mean_g = jnp.mean(xg.astype(jnp.float32), red)  # (G, C)
+            var_g = jnp.maximum(
                 jnp.mean(jnp.square(xg.astype(jnp.float32)), red)
-                - jnp.square(mean),
+                - jnp.square(mean_g),
                 0.0,
             )
-            return mean, var
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * jnp.mean(mean_g, 0)
+                ra_var.value = m * ra_var.value + (1 - m) * jnp.mean(var_g, 0)
 
-        if _TRAIN_BN_IMPL == "own":
-            # backward recomputes the f32 casts instead of saving them
-            _stats = jax.checkpoint(_stats)
-        mean_g, var_g = _stats(xg)
-        if not self.is_initializing():
-            m = self.momentum
-            ra_mean.value = m * ra_mean.value + (1 - m) * jnp.mean(mean_g, 0)
-            ra_var.value = m * ra_var.value + (1 - m) * jnp.mean(var_g, 0)
-
-        # Normalise exactly like flax's _normalize: cast stats/params to the
-        # compute dtype FIRST, then (x - mean) * (rsqrt(var+eps) * scale)
-        # + bias in that dtype — bit-compatible with the stock (groups=1)
-        # path at every dtype.
         out_dtype = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
         shape_g = (g,) + (1,) * (xg.ndim - 2) + (c,)
         mean_c = mean_g.reshape(shape_g).astype(out_dtype)

@@ -38,12 +38,21 @@ class EarlyStopping:
         at the resume epoch and extend training by up to `patience`
         epochs. Replaying the logged epochs < before_epoch restores the
         exact counters the killed run had.
+
+        training.csv is append-only and rows are written before the
+        checkpoint save (and checkpoint_interval>1 re-runs logged epochs),
+        so after a kill+resume the file can hold duplicate rows for re-run
+        epochs. Rows are deduplicated by epoch (last occurrence wins — the
+        re-run value is what the resumed trajectory actually produced)
+        before replaying, otherwise each duplicate inflates `wait` and
+        early stop fires up to `patience` epochs early.
         """
         import csv as _csv
         import os as _os
 
         if not _os.path.exists(csv_path):
             return
+        by_epoch = {}
         with open(csv_path) as f:
             for row in _csv.DictReader(f):
                 try:
@@ -55,4 +64,6 @@ class EarlyStopping:
                 val = row.get(self.monitor)
                 if val in (None, ""):
                     continue
-                self.update(epoch, {self.monitor: float(val)})
+                by_epoch[epoch] = float(val)
+        for epoch in sorted(by_epoch):
+            self.update(epoch, {self.monitor: by_epoch[epoch]})

@@ -304,6 +304,12 @@ class Executor:
                 img_cb.on_epoch_end(
                     epoch, *self.params_for_eval(ts)
                 )
+            # checkpoint_interval > 1 trades a bounded re-run window for
+            # save cost (full-state saves device_get ~MBs over the relay):
+            # a preemption can lose up to interval-1 epochs, which the
+            # resume re-runs. training.csv is append-only, so those re-run
+            # epochs appear twice in the file; EarlyStopping.replay_csv
+            # dedupes by epoch when rebuilding its counters.
             ckpt_every = max(1, getattr(conf, "checkpoint_interval", 1))
             comp_every = max(1, getattr(conf, "component_save_interval", 1))
             stopping = es.update(epoch, logs)

@@ -75,3 +75,30 @@ def test_early_stopping_replay_csv(tmp_path):
     fresh = EarlyStopping(min_delta=0.01, patience=10)
     fresh.replay_csv(str(p), before_epoch=0)  # nothing logged before epoch 0
     assert fresh.wait == 0 and fresh.best == float("inf")
+
+
+def test_early_stopping_replay_dedupes_rerun_epochs(tmp_path):
+    """training.csv is append-only and the row is written before the
+    checkpoint save, so a kill+resume re-runs logged epochs and appends
+    duplicate rows. Replay must dedupe by epoch (last occurrence wins) or
+    each duplicate inflates `wait` and early stop fires early."""
+    from multimodal_segmentation_tpu.train.early_stopping import EarlyStopping
+
+    p = tmp_path / "training.csv"
+    rows = ["epoch,val_loss_mod2_fused"]
+    # first run: epochs 0..5 (improve at 0..2, plateau 3..5), killed after
+    # logging epoch 5 but before the checkpoint save of epoch 4..5
+    for e, v in enumerate([0.9, 0.5, 0.1, 0.1, 0.1, 0.1]):
+        rows.append("%d,%f" % (e, v))
+    # resume re-runs epochs 4..5 (slightly different values) then continues
+    rows.append("4,0.100000")
+    rows.append("5,0.099000")
+    rows.append("6,0.098000")
+    p.write_text("\n".join(rows) + "\n")
+
+    es = EarlyStopping(min_delta=0.01, patience=10)
+    es.replay_csv(str(p), before_epoch=7)
+    assert es.best == 0.1
+    # epochs 3,4,5,6 without >min_delta improvement — the duplicated 4,5
+    # rows must NOT be double-counted (naive replay would give wait=6)
+    assert es.wait == 4
