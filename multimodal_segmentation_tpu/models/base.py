@@ -119,3 +119,41 @@ def add_residual(masks):
     """
     residual = 1.0 - jnp.max((masks == 1.0).astype(masks.dtype), axis=-1, keepdims=True)
     return jnp.concatenate([masks, residual], axis=-1)
+
+
+def subsample_pool(rng, variants, B=None):
+    """Random fake-pool subsample as a streaming per-slot select.
+
+    The reference builds discriminator fake pools by concatenating K
+    generator variants of the B pool images and drawing B rows without
+    replacement (np.random.choice on the host, e.g.
+    model_executors/dafnet_executor.py:524-543). On TPU a row `jnp.take`
+    along the batch axis is an HBM random gather of full images, and under
+    a data-parallel mesh GSPMD lowers it to a chain of full-activation
+    collective-permutes (measured: 297 permutes up to 113 MB each in the
+    8-way DP step). Here each output slot b instead selects uniformly
+    among the K variants of THAT slot — one fused elementwise select pass,
+    no gather, no cross-device traffic, and each result is still a uniform
+    random pool draw. Deliberate deviation: slots are sampled
+    independently (stratified by slot) instead of jointly without
+    replacement across the K*B rows; the discriminator sees the same
+    marginal distribution of fakes.
+
+    Args:
+      rng: PRNG key.
+      variants: list of K equally-shaped (B, ...) arrays.
+      B: unused (kept for call-site clarity); batch comes from variants[0].
+
+    Returns:
+      (B, ...) array, slot b = variants[k_b][b] with k_b ~ U{0..K-1}.
+    """
+    k = len(variants)
+    if k == 1:
+        return variants[0]
+    nb = variants[0].shape[0]
+    idx = jax.random.randint(rng, (nb,), 0, k)
+    sel_shape = (nb,) + (1,) * (variants[0].ndim - 1)
+    out = variants[0]
+    for j in range(1, k):
+        out = jnp.where((idx == j).reshape(sel_shape), variants[j], out)
+    return out

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_segmentation_tpu import losses
-from multimodal_segmentation_tpu.models.base import ComponentSet
+from multimodal_segmentation_tpu.models.base import ComponentSet, subsample_pool
 from multimodal_segmentation_tpu.nn import (
     AnatomyFuser,
     Balancer,
@@ -453,7 +453,9 @@ class DAFNet:
     def _fake_mask_pools(self, params, state, s1, s2, s1_def, s2_def, r1, r2, B):
         """Mask pools from precomputed anatomies
         (model_executors/dafnet_executor.py:524-543): per modality the simple
-        and the cross-deformed segmentation, concatenated then subsampled."""
+        and the cross-deformed segmentation, pooled by a streaming per-slot
+        select (models/base.py::subsample_pool — the TPU-native form of the
+        reference's concat + np.random.choice row draw)."""
         nm = self.conf.num_masks
         # one eval-mode segmentor call on all four anatomies (running BN
         # stats: concatenation is exact)
@@ -462,11 +464,9 @@ class DAFNet:
             jnp.concatenate([s1, s2, s2_def, s1_def], axis=0), False, False,
         )
         m1_hat, m2_hat, m1_from_s2, m2_from_s1 = jnp.split(m_all, 4, axis=0)
-        pool1 = jnp.concatenate([m1_hat[..., :nm], m1_from_s2[..., :nm]], axis=0)
-        pool2 = jnp.concatenate([m2_hat[..., :nm], m2_from_s1[..., :nm]], axis=0)
-        idx1 = jax.random.choice(r1, pool1.shape[0], (B,), replace=False)
-        idx2 = jax.random.choice(r2, pool2.shape[0], (B,), replace=False)
-        return jnp.take(pool1, idx1, axis=0), jnp.take(pool2, idx2, axis=0)
+        fake1 = subsample_pool(r1, [m1_hat[..., :nm], m1_from_s2[..., :nm]])
+        fake2 = subsample_pool(r2, [m2_hat[..., :nm], m2_from_s1[..., :nm]])
+        return fake1, fake2
 
     def make_fake_masks(self, params, state, x1, x2, rng):
         """Fake-mask pools for the mask discriminator (standalone wrapper;
@@ -530,16 +530,8 @@ class DAFNet:
             False,
         )
         parts = jnp.split(y_all, 6, axis=0)
-        y1_pool = jnp.concatenate(parts[:3], axis=0)
-        y2_pool = jnp.concatenate(parts[3:], axis=0)
-        fake_y1 = jnp.take(
-            y1_pool, jax.random.choice(r5, y1_pool.shape[0], (B,), replace=False),
-            axis=0,
-        )
-        fake_y2 = jnp.take(
-            y2_pool, jax.random.choice(r6, y2_pool.shape[0], (B,), replace=False),
-            axis=0,
-        )
+        fake_y1 = subsample_pool(r5, parts[:3])
+        fake_y2 = subsample_pool(r6, parts[3:])
         return jax.lax.stop_gradient((fake_m1, fake_m2, fake_y1, fake_y2))
 
     def d_mask_pair_loss(self, d_params, other_params, state, real_m, fake_m):

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_segmentation_tpu import losses
-from multimodal_segmentation_tpu.models.base import ComponentSet
+from multimodal_segmentation_tpu.models.base import ComponentSet, subsample_pool
 from multimodal_segmentation_tpu.nn import (
     AnatomyEncoder,
     AnatomyFuser,
@@ -305,12 +305,12 @@ class MMSDNet:
         m_def, _ = self.segment(params, state, s1_def, False, False)
         m_fus, _ = self.segment(params, state, s1_fused, False, False)
 
-        pool = jnp.concatenate(
+        # pool draw as a streaming per-slot select (subsample_pool): the
+        # TPU-native form of the reference's concat + np.random.choice
+        fake_m = jax.lax.stop_gradient(subsample_pool(
+            rng,
             [m1_hat[..., :nm], m2_hat[..., :nm], m_def[..., :nm], m_fus[..., :nm]],
-            axis=0,
-        )
-        idx = jax.random.choice(rng, pool.shape[0], (B,), replace=False)
-        fake_m = jax.lax.stop_gradient(jnp.take(pool, idx, axis=0))
+        ))
 
         d_real, penalty, state = self.discriminate(
             params, state, m_real, collect_spectral=True

@@ -51,11 +51,13 @@ class AnatomyFuser(nn.Module):
     """Deform s1 -> s2 space via TPS-STN; fuse with max (anatomy_fuser.py:28-33).
 
     tps_impl selects the warp implementation:
-      'auto'   — the fused Pallas kernel on a single-chip TPU backend,
-                 the jnp (XLA gather) path elsewhere (CPU tests, virtual
-                 meshes, multi-device runs until the kernel grows a GSPMD
-                 partition rule);
-      'pallas' — force the kernel; 'jnp' — force the gather path.
+      'auto'   — the fused Pallas kernel on TPU backends under bf16
+                 compute (single chip or mesh: the kernel carries a GSPMD
+                 batch-partition rule, ops/pallas_kernels.py), the jnp
+                 (XLA gather) path elsewhere (CPU tests, f32 runs);
+      'pallas' — force the kernel (interpret mode off-TPU, so virtual-mesh
+                 CPU runs exercise the real partitioned code path);
+      'jnp'    — force the gather path.
     The warp is the step's dominant HBM consumer on TPU via the jnp path
     (PERF.md round 3), so 'auto' is the production default.
     """
@@ -74,10 +76,10 @@ class AnatomyFuser(nn.Module):
             return False
         # auto: the kernel wins only with single-pass bf16 blends (f32
         # HIGHEST blends run 6 MXU passes and lose to the XLA gather,
-        # tools/time_warp.py); mesh runs need a GSPMD rule first.
+        # tools/time_warp.py). Mesh runs keep the kernel: the pallas call
+        # carries a GSPMD batch-partition rule.
         return (
             jax.default_backend() == "tpu"
-            and jax.device_count() == 1
             and jnp.dtype(self.dtype) == jnp.bfloat16
         )
 
@@ -91,6 +93,7 @@ class AnatomyFuser(nn.Module):
             cp_dims=self.cp_dims,
             use_pallas=self._use_pallas(),
             blend_bf16=jnp.dtype(self.dtype) == jnp.bfloat16,
+            interpret=jax.default_backend() != "tpu",
         ).astype(s1.dtype)
         s_fused = jnp.maximum(s1_def, s2)
         return s1_def, s_fused

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
 
 # ------------------------------------------------------------- round STE
 
@@ -260,7 +262,7 @@ def _warp_bwd_kernel(src_ref, locs_ref, locs_t_ref, g_ref, gsrc_ref, gloc_ref,
 
 
 def tps_bilinear_warp_bwd_pallas(vol, locs, g, block_points=256,
-                                 blend_bf16=False):
+                                 blend_bf16=False, interpret=False):
     """Backward of the fused warp: given vol (B, H, W, C), pixel-space
     sample locations locs (B, H*W, 2) and output cotangent g (B, H, W, C),
     returns (grad_vol, grad_locs)."""
@@ -291,6 +293,7 @@ def tps_bilinear_warp_bwd_pallas(vol, locs, g, block_points=256,
             pl.BlockSpec((1, H, C * W), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, 128), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
         ],
+        interpret=interpret,
     )(
         vol.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(B, H, C * W),
         locs.astype(jnp.float32),
@@ -303,7 +306,7 @@ def tps_bilinear_warp_bwd_pallas(vol, locs, g, block_points=256,
 
 
 def tps_bilinear_warp_pallas(vol, wv, cp_grid, block_points=1024,
-                             blend_bf16=False):
+                             blend_bf16=False, interpret=False):
     """Fused TPS warp: vol (B, H, W, C), wv (B, 28, 2) solved spline
     coefficients, cp_grid (25, 2). Returns (B, H, W, C)."""
     B, H, W, C = vol.shape
@@ -336,6 +339,7 @@ def tps_bilinear_warp_pallas(vol, wv, cp_grid, block_points=1024,
         out_specs=pl.BlockSpec(
             (1, P, 128), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
         ),
+        interpret=interpret,
     )(
         # channel-major source layout (B, H, C*W) for the tiled column blend
         vol.transpose(0, 1, 3, 2).reshape(B, H, C * W),
@@ -344,3 +348,117 @@ def tps_bilinear_warp_pallas(vol, wv, cp_grid, block_points=1024,
         v_flat,
     )
     return out[:, :, :C].reshape(B, H, W, C)
+
+
+# -------------------------------------- GSPMD partition rule for the warp
+
+def _batch_shardings(shapes, mesh):
+    """Shardings that keep ONLY the leading (batch) mesh axes of each
+    operand and replicate everything else — the kernel is independent
+    per batch element (grid axis 0 is the batch), so batch partitioning
+    is exact; any non-batch sharding is collapsed before the kernel."""
+    out = []
+    for s in shapes:
+        spec = s.sharding.spec
+        b = spec[0] if len(spec) > 0 else None
+        out.append(
+            NamedSharding(mesh, PartitionSpec(b, *([None] * (len(s.shape) - 1))))
+        )
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _warp_fwd_partitioned(blend_bf16, interpret):
+    """`tps_bilinear_warp_pallas` wrapped with a GSPMD partition rule.
+
+    The kernel's grid axis 0 is the batch and every operand/result has a
+    leading batch dim, so the op shards 1:1 along whatever mesh axis the
+    batch carries (typically 'data'); the tiny spline coefficients ride
+    along and cp_grid is replicated. Without this rule GSPMD treats the
+    pallas custom-call as unpartitionable and mesh runs had to fall back
+    to the XLA gather path (VERDICT r3 item 2).
+    """
+
+    @custom_partitioning
+    def fwd(vol, wv, cp_grid):
+        return tps_bilinear_warp_pallas(
+            vol, wv, cp_grid, blend_bf16=blend_bf16, interpret=interpret
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = _batch_shardings(arg_shapes, mesh)
+        # cp_grid (rank 2, no batch) is replicated
+        arg_shardings[2] = NamedSharding(mesh, PartitionSpec(None, None))
+        result_sharding = _batch_shardings([result_shape], mesh)[0]
+
+        def lower_fn(vol, wv, cp_grid):
+            return tps_bilinear_warp_pallas(
+                vol, wv, cp_grid, blend_bf16=blend_bf16, interpret=interpret
+            )
+
+        return mesh, lower_fn, result_sharding, tuple(arg_shardings)
+
+    def infer(mesh, arg_shapes, result_shape):
+        spec = arg_shapes[0].sharding.spec
+        b = spec[0] if len(spec) > 0 else None
+        return NamedSharding(mesh, PartitionSpec(b, None, None, None))
+
+    fwd.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b i j c, b k t, n t -> b i j c",
+    )
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _warp_bwd_partitioned(blend_bf16, interpret):
+    """Backward-kernel twin of `_warp_fwd_partitioned` (same batch rule)."""
+
+    @custom_partitioning
+    def bwd(vol, locs, g):
+        return tps_bilinear_warp_bwd_pallas(
+            vol, locs, g, blend_bf16=blend_bf16, interpret=interpret
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = _batch_shardings(arg_shapes, mesh)
+        result_shardings = _batch_shardings(list(result_shape), mesh)
+
+        def lower_fn(vol, locs, g):
+            return tps_bilinear_warp_bwd_pallas(
+                vol, locs, g, blend_bf16=blend_bf16, interpret=interpret
+            )
+
+        return mesh, lower_fn, tuple(result_shardings), tuple(arg_shardings)
+
+    def infer(mesh, arg_shapes, result_shape):
+        spec = arg_shapes[0].sharding.spec
+        b = spec[0] if len(spec) > 0 else None
+        return (
+            NamedSharding(mesh, PartitionSpec(b, None, None, None)),
+            NamedSharding(mesh, PartitionSpec(b, None, None)),
+        )
+
+    bwd.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b i j c, b q t, b i j c -> b i j c, b q t",
+    )
+    return bwd
+
+
+def tps_bilinear_warp_pallas_sharded(vol, wv, cp_grid, blend_bf16=False,
+                                     interpret=False):
+    """Partition-rule-carrying entry point for the forward warp kernel."""
+    return _warp_fwd_partitioned(bool(blend_bf16), bool(interpret))(
+        vol, wv, cp_grid
+    )
+
+
+def tps_bilinear_warp_bwd_pallas_sharded(vol, locs, g, blend_bf16=False,
+                                         interpret=False):
+    """Partition-rule-carrying entry point for the backward warp kernel."""
+    return _warp_bwd_partitioned(bool(blend_bf16), bool(interpret))(
+        vol, locs, g
+    )

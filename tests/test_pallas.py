@@ -148,3 +148,44 @@ class TestWarpPallasBf16Blends:
             np.asarray(g_ref[1]) / scale, np.asarray(g_pal[1]) / scale,
             atol=2e-2,
         )
+
+
+class TestWarpPartitionRule:
+    """GSPMD batch-partition rule for the warp kernels (VERDICT r3 item 2):
+    under a mesh the pallas call shards along the batch axis instead of
+    falling back to the XLA gather path. Exercised in interpret mode on the
+    virtual 8-device CPU mesh; semantics: reference layers/stn_spline.py:55-67."""
+
+    def test_mesh_parity_fwd_bwd(self):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        r = np.random.RandomState(11)
+        vol = jnp.asarray(r.rand(8, 32, 32, 4), jnp.float32)
+        off = jnp.asarray(r.randn(8, 25, 2) * 0.02, jnp.float32)
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+        sh = NamedSharding(mesh, P("data"))
+
+        def loss(v, o, use_pallas):
+            return jnp.sum(
+                jnp.square(tps_warp(v, o, use_pallas=use_pallas, interpret=True))
+            )
+
+        f_pal = jax.jit(
+            jax.value_and_grad(lambda v, o: loss(v, o, True), argnums=(0, 1)),
+            in_shardings=(sh, sh),
+        )
+        f_jnp = jax.jit(
+            jax.value_and_grad(lambda v, o: loss(v, o, False), argnums=(0, 1)),
+        )
+        vp, (gv_p, go_p) = f_pal(vol, off)
+        vj, (gv_j, go_j) = f_jnp(vol, off)
+        np.testing.assert_allclose(float(vp), float(vj), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_j), atol=1e-4)
+        scale = float(jnp.max(jnp.abs(go_j))) + 1e-8
+        assert float(jnp.max(jnp.abs(go_p - go_j))) / scale < 1e-4
+
+        # the partition rule must actually engage (no unpartitioned
+        # fallback): the compiled module carries the custom_partitioning
+        # calls produced by the rule
+        comp = f_pal.lower(vol, off).compile().as_text()
+        assert "custom_partitioning" in comp
