@@ -111,6 +111,14 @@ class ComponentSet:
         return out
 
 
+# sharding-friendly batch stacking (see ops/batching.py for why order
+# matters under a 'data' mesh); re-exported here as the models' API
+from multimodal_segmentation_tpu.ops.batching import (  # noqa: F401
+    batch_deinterleave,
+    batch_interleave,
+)
+
+
 def add_residual(masks):
     """Append a background channel = 1 - union(mask channels).
 

@@ -16,7 +16,12 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_segmentation_tpu import losses
-from multimodal_segmentation_tpu.models.base import ComponentSet, subsample_pool
+from multimodal_segmentation_tpu.models.base import (
+    ComponentSet,
+    batch_deinterleave,
+    batch_interleave,
+    subsample_pool,
+)
 from multimodal_segmentation_tpu.nn import (
     AnatomyFuser,
     Balancer,
@@ -191,15 +196,17 @@ class DAFNet:
         z1_in, z2_in = batch["z1"], batch["z2"]
         r1, r2, r3, r4 = jax.random.split(rng, 4)
         nm = conf.num_masks
-        cat = lambda xs: jnp.concatenate(xs, axis=0)
-        split = lambda x, n: jnp.split(x, n, axis=0)
+        cat = batch_interleave
+        split = batch_deinterleave
 
         # Every component the reference applies K times per batch runs here
-        # as ONE call on the batch-concatenated inputs: identical math
+        # as ONE call on the batch-stacked inputs: identical math
         # (decoder/fuser/VAE/discriminators are per-sample; the segmentor
         # keeps per-invocation BN statistics via grouped BN) in K-times
         # fewer, K-times larger XLA kernels — the TPU-native shape of the
         # reference's 18-output trainer (models/dafnet.py:163-222).
+        # Stacking is interleaved (ops/batching.py) so a 'data' mesh keeps
+        # every row local.
 
         s1, s2, state = self.encode_anatomies(params, state, x1, x2, True, True)
 
@@ -461,9 +468,9 @@ class DAFNet:
         # stats: concatenation is exact)
         m_all, _ = self.segment(
             params, state,
-            jnp.concatenate([s1, s2, s2_def, s1_def], axis=0), False, False,
+            batch_interleave([s1, s2, s2_def, s1_def]), False, False,
         )
-        m1_hat, m2_hat, m1_from_s2, m2_from_s1 = jnp.split(m_all, 4, axis=0)
+        m1_hat, m2_hat, m1_from_s2, m2_from_s1 = batch_deinterleave(m_all, 4)
         fake1 = subsample_pool(r1, [m1_hat[..., :nm], m1_from_s2[..., :nm]])
         fake2 = subsample_pool(r2, [m2_hat[..., :nm], m2_from_s1[..., :nm]])
         return fake1, fake2
@@ -475,11 +482,11 @@ class DAFNet:
         s1, s2, _ = self.encode_anatomies(params, state, x1, x2, False, False)
         s_def, _ = self.fuse(
             params, state,
-            jnp.concatenate([s1, s2], axis=0),
-            jnp.concatenate([s2, s1], axis=0),
+            batch_interleave([s1, s2]),
+            batch_interleave([s2, s1]),
             False,
         )
-        s1_def, s2_def = jnp.split(s_def, 2, axis=0)
+        s1_def, s2_def = batch_deinterleave(s_def, 2)
         r1, r2 = jax.random.split(rng)
         return self._fake_mask_pools(
             params, state, s1, s2, s1_def, s2_def, r1, r2, x1.shape[0]
@@ -503,11 +510,11 @@ class DAFNet:
         # both fusion directions in one LocNet/warp call
         s_def, _ = self.fuse(
             params, state,
-            jnp.concatenate([s1, s2], axis=0),
-            jnp.concatenate([s2, s1], axis=0),
+            batch_interleave([s1, s2]),
+            batch_interleave([s2, s1]),
             False,
         )
-        s1_def, s2_def = jnp.split(s_def, 2, axis=0)
+        s1_def, s2_def = batch_deinterleave(s_def, 2)
 
         fake_m1, fake_m2 = self._fake_mask_pools(
             params, state, s1, s2, s1_def, s2_def, r1, r2, B
@@ -518,18 +525,18 @@ class DAFNet:
         # and all six decodes run as one batched call each
         z, _, _, _ = self.encode_modality(
             params, state,
-            jnp.concatenate([s1, s2], axis=0),
-            jnp.concatenate([x1, x2], axis=0),
+            batch_interleave([s1, s2]),
+            batch_interleave([x1, x2]),
             r3, False,
         )
-        z1, z2 = jnp.split(z, 2, axis=0)
+        z1, z2 = batch_deinterleave(z, 2)
         y_all = self.decode(
             params, state,
-            jnp.concatenate([s1, s2_def, s1_def, s2, s1_def, s2_def], axis=0),
-            jnp.concatenate([z1, z1, z1, z2, z2, z2], axis=0),
+            batch_interleave([s1, s2_def, s1_def, s2, s1_def, s2_def]),
+            batch_interleave([z1, z1, z1, z2, z2, z2]),
             False,
         )
-        parts = jnp.split(y_all, 6, axis=0)
+        parts = batch_deinterleave(y_all, 6)
         fake_y1 = subsample_pool(r5, parts[:3])
         fake_y2 = subsample_pool(r6, parts[3:])
         return jax.lax.stop_gradient((fake_m1, fake_m2, fake_y1, fake_y2))
@@ -548,10 +555,10 @@ class DAFNet:
         # call = once per reference fit
         d_all, penalty, state = self.discriminate(
             params, state, "d_mask",
-            jnp.concatenate([real_m, jax.lax.stop_gradient(fake_m)], axis=0),
+            batch_interleave([real_m, jax.lax.stop_gradient(fake_m)]),
             collect_spectral=True,
         )
-        d_real, d_fake = jnp.split(d_all, 2, axis=0)
+        d_real, d_fake = batch_deinterleave(d_all, 2)
         loss = losses.lsgan_disc(d_real, d_fake) + penalty
         return loss, ({"dis_M": loss}, state)
 
@@ -579,14 +586,14 @@ class DAFNet:
         # real+fake in one call per discriminator (no norm layers: exact)
         d1, p1, state = self.discriminate(
             params, state, "d_image1",
-            jnp.concatenate([x1, y1], axis=0), collect_spectral=True,
+            batch_interleave([x1, y1]), collect_spectral=True,
         )
-        d1_real, d1_fake = jnp.split(d1, 2, axis=0)
+        d1_real, d1_fake = batch_deinterleave(d1, 2)
         d2, p2, state = self.discriminate(
             params, state, "d_image2",
-            jnp.concatenate([x2, y2], axis=0), collect_spectral=True,
+            batch_interleave([x2, y2]), collect_spectral=True,
         )
-        d2_real, d2_fake = jnp.split(d2, 2, axis=0)
+        d2_real, d2_fake = batch_deinterleave(d2, 2)
 
         loss1 = losses.lsgan_disc(d1_real, d1_fake) + p1
         loss2 = losses.lsgan_disc(d2_real, d2_fake) + p2

@@ -14,7 +14,12 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_segmentation_tpu import losses
-from multimodal_segmentation_tpu.models.base import ComponentSet, subsample_pool
+from multimodal_segmentation_tpu.models.base import (
+    ComponentSet,
+    batch_deinterleave,
+    batch_interleave,
+    subsample_pool,
+)
 from multimodal_segmentation_tpu.nn import (
     AnatomyEncoder,
     AnatomyFuser,
@@ -164,12 +169,13 @@ class MMSDNet:
         # statistically equivalent)
         key_z = rng
 
-        cat = lambda xs: jnp.concatenate(xs, axis=0)
-        split = lambda x, n: jnp.split(x, n, axis=0)
+        cat = batch_interleave
+        split = batch_deinterleave
 
         # As in DAFNet, every component the reference applies K times per
-        # batch runs as ONE concatenated call (per-invocation BN statistics
-        # preserved by grouped BN where the component has BatchNorm).
+        # batch runs as ONE batch-stacked call (per-invocation BN statistics
+        # preserved by grouped BN where the component has BatchNorm);
+        # interleaved stacking (ops/batching.py) keeps 'data'-mesh rows local.
         s1, state = self.encode_anatomy(params, state, 0, x1, True, True)
         s2, state = self.encode_anatomy(params, state, 1, x2, True, True)
 

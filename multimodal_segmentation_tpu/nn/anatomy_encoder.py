@@ -13,6 +13,10 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+from multimodal_segmentation_tpu.ops.batching import (
+    batch_deinterleave,
+    batch_interleave,
+)
 from multimodal_segmentation_tpu.nn.blocks import he_normal
 from multimodal_segmentation_tpu.nn.unet import UNetBottleneck, UNetDown, UNetUp
 from multimodal_segmentation_tpu.ops.rounding import round_ste
@@ -107,10 +111,10 @@ class DualAnatomyEncoder(nn.Module):
             )
         h1, skips1 = self.down1(x1.astype(self.dtype), train)
         h2, skips2 = self.down2(x2.astype(self.dtype), train)
-        h = jnp.concatenate([h1, h2], axis=0)
-        skips = [
-            jnp.concatenate([a, b], axis=0) for a, b in zip(skips1, skips2)
-        ]
+        # interleaved batch-stack (models/base.py): sharding-local under a
+        # 'data' mesh; grouped BN keeps per-modality statistics
+        h = batch_interleave([h1, h2])
+        skips = [batch_interleave([a, b]) for a, b in zip(skips1, skips2)]
         h = self.shared_bottleneck(h, train, groups=2)
         h = self.shared_up(h, skips, train, groups=2)
         s = nn.softmax(
@@ -118,7 +122,7 @@ class DualAnatomyEncoder(nn.Module):
         ).astype(self.dtype)
         if self.rounding:
             s = round_ste(s)
-        s1, s2 = jnp.split(s, 2, axis=0)
+        s1, s2 = batch_deinterleave(s, 2)
         return s1, s2
 
     def encode1(self, x, train: bool = False):

@@ -21,16 +21,22 @@ class BatchNorm(nn.BatchNorm):
     The TPU train step batches what the reference runs as SEPARATE Keras
     layer invocations (e.g. the segmentor applied to 4 anatomy maps, the
     shared UNet decoder applied to both modalities) into ONE kernel on the
-    concatenated batch — far fewer, larger XLA fusions. Each reference
+    batch-stacked input — far fewer, larger XLA fusions. Each reference
     invocation computed BatchNorm statistics over ITS OWN batch, so with
-    `groups=G` the concatenated (G*B, ...) input is normalised with
-    statistics over each B-sized group, reproducing per-invocation stats
-    exactly. Running statistics are updated once with the mean of the
-    group means/vars (equal group sizes: the global batch moments) —
-    vs. the reference's G sequential momentum updates; the fixed point is
-    identical and the transient difference is O((1-momentum)^2). Subclass
-    (not a new module) so the auto-name stays "BatchNorm_N" and parameter
-    trees/checkpoints are unchanged.
+    `groups=G` the (B*G, ...) input is normalised with statistics over
+    each B-sized group, reproducing per-invocation stats exactly. Running
+    statistics are updated once with the mean of the group means/vars
+    (equal group sizes: the global batch moments) — vs. the reference's G
+    sequential momentum updates; the fixed point is identical and the
+    transient difference is O((1-momentum)^2). Subclass (not a new module)
+    so the auto-name stays "BatchNorm_N" and parameter trees/checkpoints
+    are unchanged.
+
+    Group layout is INTERLEAVED (models/base.py::batch_interleave): row
+    b*G + g belongs to group g. The sharded batch dim then stays major
+    through every reshape, so a 'data'-sharded mesh keeps all rows local
+    and the only cross-device traffic grouped BN adds is the (G, C) stats
+    all-reduce (round-4 collective audit).
     """
 
     groups: int = 1
@@ -86,8 +92,10 @@ class BatchNorm(nn.BatchNorm):
                 f"grouped BatchNorm needs batch divisible by groups: "
                 f"batch={x.shape[0]}, groups={g}"
             )
-        xg = x.reshape((g, x.shape[0] // g) + x.shape[1:])
-        red = tuple(range(1, xg.ndim - 1))
+        # interleaved layout: row b*g + k is group k's sample b, so the
+        # (possibly 'data'-sharded) per-group batch dim stays MAJOR
+        xg = x.reshape((x.shape[0] // g, g) + x.shape[1:])
+        red = (0,) + tuple(range(2, xg.ndim - 1))
 
         if use_ra:
             mean_g = ra_mean.value[None]  # (1, C) running statistics
@@ -105,7 +113,7 @@ class BatchNorm(nn.BatchNorm):
                 ra_var.value = m * ra_var.value + (1 - m) * jnp.mean(var_g, 0)
 
         out_dtype = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
-        shape_g = (g,) + (1,) * (xg.ndim - 2) + (c,)
+        shape_g = (1, g) + (1,) * (xg.ndim - 3) + (c,)
         mean_c = mean_g.reshape(shape_g).astype(out_dtype)
         var_c = var_g.reshape(shape_g).astype(out_dtype)
         y = xg.astype(out_dtype) - mean_c

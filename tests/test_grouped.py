@@ -16,6 +16,10 @@ import pytest
 from multimodal_segmentation_tpu.nn.blocks import BatchNorm
 from multimodal_segmentation_tpu.nn.anatomy_encoder import DualAnatomyEncoder
 from multimodal_segmentation_tpu.nn.segmentor import Segmentor
+from multimodal_segmentation_tpu.ops.batching import (
+    batch_deinterleave,
+    batch_interleave,
+)
 
 
 class TestGroupedBatchNorm:
@@ -27,19 +31,23 @@ class TestGroupedBatchNorm:
 
     def test_matches_per_group_calls(self):
         G, B, H, W, C = 3, 4, 8, 8, 5
-        x = jax.random.normal(jax.random.PRNGKey(0), (G * B, H, W, C))
+        xs = [
+            jax.random.normal(jax.random.PRNGKey(g), (B, H, W, C))
+            for g in range(G)
+        ]
         bn1 = self._make(1)
-        v = bn1.init(jax.random.PRNGKey(1), x[:B])
-        # per-group reference: stock flax BN applied to each B-slice
+        v = bn1.init(jax.random.PRNGKey(10), xs[0])
+        # per-group reference: stock flax BN applied to each group's batch
         outs, stats = [], []
         for g in range(G):
-            o, upd = bn1.apply(v, x[g * B:(g + 1) * B], mutable=["batch_stats"])
+            o, upd = bn1.apply(v, xs[g], mutable=["batch_stats"])
             outs.append(o)
             stats.append(upd["batch_stats"])
-        ref = jnp.concatenate(outs, axis=0)
+        ref = batch_interleave(outs)
 
         bng = self._make(G)
-        got, upd_g = bng.apply(v, x, mutable=["batch_stats"])
+        # interleaved group layout (ops/batching.py): row b*G+g = group g
+        got, upd_g = bng.apply(v, batch_interleave(xs), mutable=["batch_stats"])
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
         # running stats update = mean of the per-group updates (equal sizes)
@@ -54,26 +62,25 @@ class TestGroupedBatchNorm:
         output) are numerically close but not bit-identical — lock the
         realistic tolerance (ADVICE r2)."""
         G, B, H, W, C = 2, 4, 8, 8, 5
-        x = jax.random.normal(
-            jax.random.PRNGKey(0), (G * B, H, W, C)
-        ).astype(jnp.bfloat16)
+        xs = [
+            jax.random.normal(
+                jax.random.PRNGKey(g), (B, H, W, C)
+            ).astype(jnp.bfloat16)
+            for g in range(G)
+        ]
         bn1 = BatchNorm(
             use_running_average=False, momentum=0.99, epsilon=1e-3,
             groups=1, dtype=jnp.bfloat16,
         )
-        v = bn1.init(jax.random.PRNGKey(1), x[:B])
-        ref = jnp.concatenate(
-            [
-                bn1.apply(v, x[g * B:(g + 1) * B], mutable=["batch_stats"])[0]
-                for g in range(G)
-            ],
-            axis=0,
+        v = bn1.init(jax.random.PRNGKey(10), xs[0])
+        ref = batch_interleave(
+            [bn1.apply(v, x, mutable=["batch_stats"])[0] for x in xs]
         )
         bng = BatchNorm(
             use_running_average=False, momentum=0.99, epsilon=1e-3,
             groups=G, dtype=jnp.bfloat16,
         )
-        got, _ = bng.apply(v, x, mutable=["batch_stats"])
+        got, _ = bng.apply(v, batch_interleave(xs), mutable=["batch_stats"])
         assert got.dtype == jnp.bfloat16
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(ref, np.float32),
@@ -141,13 +148,12 @@ class TestGroupedComponents:
             for i in range(4)
         ]
         v = seg.init(jax.random.PRNGKey(9), ss[0])
-        ref = jnp.concatenate(
+        ref = batch_interleave(
             [seg.apply(v, s, train=True, mutable=["batch_stats"])[0]
-             for s in ss],
-            axis=0,
+             for s in ss]
         )
         got, _ = seg.apply(
-            v, jnp.concatenate(ss, axis=0), train=True, groups=4,
+            v, batch_interleave(ss), train=True, groups=4,
             mutable=["batch_stats"],
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
