@@ -39,6 +39,17 @@ def _render_volume(vol_id, n_slices, hw, rng):
         (-0.05, 0.45, 0.20, 0.15),   # spleen
     ]
     jit = rng.uniform(-0.05, 0.05, size=(4, 4))
+    # Per-organ anatomy drift along the slice axis: organ centres move with
+    # z, so neighbouring slices show genuinely displaced anatomy. This is
+    # what gives the automated-pairing candidates (expand_pairs stacks
+    # neighbour slices as pairing candidates, reference
+    # loaders/MultimodalPairedData.py:91-141) materially DIFFERENT
+    # alignment quality — the expert pair matches, the |offset|=1,2
+    # neighbours are progressively misaligned — so the Balancer
+    # (model_components/balancer.py:11-38) has real signal to rank them.
+    # At ~16 slices a +/-1 neighbour displaces organ centres by ~0.04
+    # normalised units (~4 px at 192^2), ~2x that for |offset|=2.
+    drift = rng.uniform(0.15, 0.3, size=(4, 2)) * rng.choice([-1, 1], size=(4, 2))
 
     imgs1, msks1, imgs2, msks2 = [], [], [], []
     for s in range(n_slices):
@@ -46,7 +57,8 @@ def _render_volume(vol_id, n_slices, hw, rng):
         zscale = np.sqrt(max(1.0 - 0.6 * z * z, 0.05))
         masks = []
         for k, (cy, cx, ry, rx) in enumerate(organs):
-            cy, cx = cy + jit[k, 0], cx + jit[k, 1]
+            cy = cy + jit[k, 0] + drift[k, 0] * z
+            cx = cx + jit[k, 1] + drift[k, 1] * z
             ry = (ry + jit[k, 2] * 0.3) * zscale
             rx = (rx + jit[k, 3] * 0.3) * zscale
             d = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
