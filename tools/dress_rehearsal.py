@@ -164,7 +164,10 @@ def main():
            "--epochs", str(args.epochs)]
     if args.bf16:
         cmd += ["--compute_dtype", "bfloat16"]
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # append (not replace) PYTHONPATH: the environment's sitecustomize —
+    # which registers the TPU PJRT plugin — is found through it
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     print("running:", " ".join(cmd))
     t0 = time.time()
     subprocess.check_call(cmd, cwd=workdir, env=env)
