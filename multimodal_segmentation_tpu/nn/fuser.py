@@ -85,14 +85,20 @@ class AnatomyFuser(nn.Module):
 
     def __call__(self, s1, s2, train: bool = False):
         theta = self.locnet(s1, s2, train)
-        # the TPS solve/flow is precision-sensitive: always f32; with bf16
-        # activations the bilinear blend runs single-pass bf16 (the warped
-        # output is cast to bf16 anyway)
+        # the TPS solve/flow is precision-sensitive: always f32. The image
+        # being warped is not: on the Pallas path with bf16 blends the
+        # kernel multiplies bf16 casts of the source anyway, so the source
+        # stays in its native dtype — an f32 upcast here made the kernel's
+        # HBM I/O (src + the 128-lane output + the backward cotangent)
+        # ~1.6 GB/step of pure f32 waste (round-4 trace).
+        use_pallas = self._use_pallas()
+        blend_bf16 = jnp.dtype(self.dtype) == jnp.bfloat16
+        src = s1 if (use_pallas and blend_bf16) else s1.astype(jnp.float32)
         s1_def = tps_warp(
-            s1.astype(jnp.float32), theta.astype(jnp.float32),
+            src, theta.astype(jnp.float32),
             cp_dims=self.cp_dims,
-            use_pallas=self._use_pallas(),
-            blend_bf16=jnp.dtype(self.dtype) == jnp.bfloat16,
+            use_pallas=use_pallas,
+            blend_bf16=blend_bf16,
             interpret=jax.default_backend() != "tpu",
         ).astype(s1.dtype)
         s_fused = jnp.maximum(s1_def, s2)

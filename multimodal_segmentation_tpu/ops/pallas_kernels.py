@@ -162,7 +162,7 @@ def _warp_kernel(src_ref, w_ref, cp_ref, v_ref, o_ref, *, H, W, C, P,
     lane = jax.lax.broadcasted_iota(jnp.int32, (W * C, 128), 0) // W
     chan = jax.lax.broadcasted_iota(jnp.int32, (W * C, 128), 1)
     s = (lane == chan).astype(jnp.float32)  # (C*W, 128) one-hot channel map
-    o_ref[0] = _blend_dot(m, s, blend_bf16)  # (P, 128)
+    o_ref[0] = _blend_dot(m, s, blend_bf16).astype(o_ref.dtype)  # (P, 128)
 
 
 def _warp_bwd_kernel(src_ref, locs_ref, locs_t_ref, g_ref, gsrc_ref, gloc_ref,
@@ -271,8 +271,13 @@ def tps_bilinear_warp_bwd_pallas(vol, locs, g, block_points=256,
     assert (H * W) % P == 0, (H, W, P)
     assert (W * C) % 128 == 0, (W, C)
 
-    g_pad = jnp.zeros((B, H * W, 128), jnp.float32)
-    g_pad = g_pad.at[:, :, :C].set(g.reshape(B, H * W, C).astype(jnp.float32))
+    # source + cotangent stay in their native dtype (bf16 under mixed
+    # precision — the blend matmuls cast to bf16 anyway); the gradient
+    # ACCUMULATOR across point blocks stays f32
+    g_dt = g.dtype if blend_bf16 else jnp.float32
+    g_pad = jnp.zeros((B, H * W, 128), g_dt)
+    g_pad = g_pad.at[:, :, :C].set(g.reshape(B, H * W, C).astype(g_dt))
+    src_dt = vol.dtype if blend_bf16 else jnp.float32
 
     kernel = functools.partial(_warp_bwd_kernel, H=H, W=W, C=C, P=P,
                                blend_bf16=blend_bf16)
@@ -295,7 +300,7 @@ def tps_bilinear_warp_bwd_pallas(vol, locs, g, block_points=256,
         ],
         interpret=interpret,
     )(
-        vol.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(B, H, C * W),
+        vol.astype(src_dt).transpose(0, 1, 3, 2).reshape(B, H, C * W),
         locs.astype(jnp.float32),
         locs.astype(jnp.float32).transpose(0, 2, 1),  # (B, 2, H*W) lane-major
         g_pad,
@@ -348,6 +353,109 @@ def tps_bilinear_warp_pallas(vol, wv, cp_grid, block_points=1024,
         v_flat,
     )
     return out[:, :, :C].reshape(B, H, W, C)
+
+
+# ------------------------------------------------- nearest-neighbour warp
+
+
+def _nearest_warp_kernel(src_ref, locs_ref, o_ref, *, H, W, C, P):
+    """Nearest-neighbour resample at explicit per-point locations.
+
+    The bilinear warp kernel's scatter-as-matmul design specialised to
+    nearest sampling with edge clamping (Keras ImageDataGenerator
+    apply_transform semantics — the on-device rotation augmentation,
+    ops/augment.py). Row/column selectors are exact one-hots, so {0,1}
+    mask channels survive bit-exactly.
+
+    src_ref:  (1, H, C*W) channel-major source.
+    locs_ref: (1, P, 2) pixel-space (y, x) sample locations.
+    o_ref:    (1, P, 128) output block (first C lanes valid).
+    """
+    y = jnp.clip(jnp.round(locs_ref[0, :, 0:1]), 0, H - 1)  # (P, 1)
+    x = jnp.clip(jnp.round(locs_ref[0, :, 1:2]), 0, W - 1)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (P, H), 1).astype(jnp.float32)
+    a = (rows == y).astype(jnp.float32)                      # (P, H) one-hot
+    r = jnp.dot(a, src_ref[0], preferred_element_type=jnp.float32)  # (P, C*W)
+
+    cw = jax.lax.broadcasted_iota(jnp.int32, (P, W * C), 1)
+    wpos = jnp.mod(cw, W).astype(jnp.float32)
+    bx = (wpos == x).astype(jnp.float32)                     # (P, C*W) one-hot
+    m = r * bx
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (W * C, 128), 0) // W
+    chan = jax.lax.broadcasted_iota(jnp.int32, (W * C, 128), 1)
+    s = (lane == chan).astype(jnp.float32)
+    o_ref[0] = jnp.dot(m, s, preferred_element_type=jnp.float32).astype(
+        o_ref.dtype
+    )
+
+
+def nearest_warp_pallas(vol, locs, block_points=1024, interpret=False):
+    """Nearest-neighbour warp: vol (B, H, W, C) at pixel locations
+    locs (B, H*W, 2) -> (B, H, W, C), edge-clamped. Not differentiable
+    (augmentation consumes data, not activations)."""
+    B, H, W, C = vol.shape
+    P = min(block_points, H * W)
+    assert (H * W) % P == 0, (H, W, P)
+    assert (W * C) % 128 == 0, (W, C)
+
+    kernel = functools.partial(_nearest_warp_kernel, H=H, W=W, C=C, P=P)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H * W, 128), vol.dtype),
+        grid=(B, (H * W) // P),
+        in_specs=[
+            pl.BlockSpec((1, H, W * C), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 2), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, P, 128), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(
+        vol.transpose(0, 1, 3, 2).reshape(B, H, C * W),
+        locs.astype(jnp.float32),
+    )
+    return out[:, :, :C].reshape(B, H, W, C)
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_warp_partitioned(interpret):
+    """nearest_warp_pallas with the same GSPMD batch-partition rule as the
+    TPS warp kernels: grid axis 0 is the batch, so the op shards 1:1 along
+    the batch's mesh axis (the augmentation runs inside the 'data'-sharded
+    train step)."""
+
+    @custom_partitioning
+    def fwd(vol, locs):
+        return nearest_warp_pallas(vol, locs, interpret=interpret)
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = _batch_shardings(arg_shapes, mesh)
+        result_sharding = _batch_shardings([result_shape], mesh)[0]
+
+        def lower_fn(vol, locs):
+            return nearest_warp_pallas(vol, locs, interpret=interpret)
+
+        return mesh, lower_fn, result_sharding, tuple(arg_shardings)
+
+    def infer(mesh, arg_shapes, result_shape):
+        spec = arg_shapes[0].sharding.spec
+        b = spec[0] if len(spec) > 0 else None
+        return NamedSharding(mesh, PartitionSpec(b, None, None, None))
+
+    fwd.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b i j c, b q t -> b i j c",
+    )
+    return fwd
+
+
+def nearest_warp_pallas_sharded(vol, locs, interpret=False):
+    """Partition-rule-carrying entry point for the nearest warp kernel."""
+    return _nearest_warp_partitioned(bool(interpret))(vol, locs)
 
 
 # -------------------------------------- GSPMD partition rule for the warp

@@ -1,6 +1,8 @@
 """Pallas kernel tests (interpreter mode on CPU; real-TPU validation lives
 in tools/bench_pallas.py, run on hardware)."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -189,3 +191,83 @@ class TestWarpPartitionRule:
         # calls produced by the rule
         comp = f_pal.lower(vol, off).compile().as_text()
         assert "custom_partitioning" in comp
+
+
+class TestWarpPallasBf16Volume:
+    """The fuser feeds the kernel its NATIVE bf16 anatomies under mixed
+    precision (round 4: the old f32 upcast cost ~1.6 GB/step of kernel HBM
+    I/O). bf16 vol + bf16 blends must stay within the bf16 error budget of
+    the f32 jnp path, fwd and bwd."""
+
+    def test_bf16_volume_forward_and_grads(self):
+        r = np.random.RandomState(7)
+        vol32 = jnp.asarray(r.rand(2, 16, 16, 8).astype(np.float32))
+        off = jnp.asarray((r.rand(2, 25, 2).astype(np.float32) - 0.5) * 0.05)
+        tgt = jnp.asarray(r.rand(2, 16, 16, 8).astype(np.float32))
+        ref = np.asarray(tps_warp(vol32, off))
+
+        vol16 = vol32.astype(jnp.bfloat16)
+        with pltpu.force_tpu_interpret_mode():
+            out = tps_warp(vol16, off, use_pallas=True, blend_bf16=True)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), ref, atol=3e-2
+        )
+
+        def loss(fn, v, o):
+            return jnp.mean((fn(v, o).astype(jnp.float32) - tgt) ** 2)
+
+        g_ref = jax.grad(
+            functools.partial(loss, lambda v, o: tps_warp(v, o)),
+            argnums=(0, 1),
+        )(vol32, off)
+        with pltpu.force_tpu_interpret_mode():
+            g_pal = jax.grad(
+                functools.partial(
+                    loss,
+                    lambda v, o: tps_warp(
+                        v, o, use_pallas=True, blend_bf16=True
+                    ),
+                ),
+                argnums=(0, 1),
+            )(vol16, off)
+        assert g_pal[0].dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(g_pal[0], np.float32), np.asarray(g_ref[0]), atol=3e-2
+        )
+        scale = np.abs(np.asarray(g_ref[1])).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(g_pal[1]) / scale, np.asarray(g_ref[1]) / scale,
+            atol=3e-2,
+        )
+
+
+class TestNearestWarpKernel:
+    """ops/augment.py rotation routed through the nearest-warp kernel must
+    match the jnp gather path exactly (one-hot selection: bit-exact for
+    {0,1} masks, identical rounding/edge-clamp for images)."""
+
+    def test_matches_jnp_rotation_exactly(self):
+        from multimodal_segmentation_tpu.ops.augment import rotate_batch
+
+        r = np.random.RandomState(11)
+        B, H, W, C = 3, 16, 16, 8  # W*C = 128
+        imgs = jnp.asarray(r.rand(B, H, W, C).astype(np.float32) * 2 - 1)
+        masks = jnp.asarray((r.rand(B, H, W, C) > 0.7).astype(np.float32))
+        thetas = jnp.asarray((r.rand(B).astype(np.float32) - 0.5) * 0.7)
+
+        for x in (imgs, masks):
+            ref = rotate_batch(x, thetas, impl="jnp")
+            with pltpu.force_tpu_interpret_mode():
+                got = rotate_batch(x, thetas, impl="pallas")
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_mask_binary_exact(self):
+        from multimodal_segmentation_tpu.ops.augment import rotate_batch
+
+        r = np.random.RandomState(12)
+        masks = jnp.asarray((r.rand(2, 16, 16, 8) > 0.5).astype(np.float32))
+        thetas = jnp.asarray(np.array([0.3, -0.2], np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(rotate_batch(masks, thetas, impl="pallas"))
+        assert set(np.unique(got)) <= {0.0, 1.0}
