@@ -1,6 +1,13 @@
 # Developer entry points
 
-.PHONY: test test-fast bench smoke dryrun native
+.PHONY: test test-fast bench smoke dryrun native tpu-smoke
+
+# MANDATORY before landing any Pallas-kernel or train-step change:
+# compiles + runs every kernel entry point at production shapes on the
+# REAL TPU backend (interpret-mode tests cannot see Mosaic scoped-VMEM
+# or matmul-precision behaviour — VERDICT r3/r4).
+tpu-smoke:
+	python tools/tpu_smoke.py
 
 test:
 	python -m pytest tests/ -q

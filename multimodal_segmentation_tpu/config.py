@@ -74,6 +74,13 @@ class ExperimentConfig:
     # TPS warp implementation: 'auto' (fused Pallas kernel on single-chip
     # TPU, XLA-gather jnp path elsewhere) | 'pallas' | 'jnp'.
     tps_impl: str = "auto"
+    # Inference ('def'/'max' fusion) warp precision: 'bf16' routes the
+    # eval-time TPS warp through the Pallas kernel with single-pass bf16
+    # blend matmuls (~1e-3 abs on the warped anatomy, binarised test Dice
+    # unchanged to 3 decimals — tools/bench_inference.py); 'f32' keeps the
+    # exact f32 path. bf16 is the production default: it removes the
+    # dominant cost of the fusion inference paths (BENCH_latency.json).
+    eval_warp: str = "bf16"
     # Rematerialise UNet/segmentor conv blocks in the backward (save only
     # block inputs, recompute norm/relu intermediates). The step is
     # HBM-bound with the MXU nearly idle, so re-FLOPs are ~free.

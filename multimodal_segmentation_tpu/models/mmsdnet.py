@@ -60,7 +60,11 @@ class MMSDNet:
                     remat=getattr(conf, "remat_convs", False),
                 ),
             )
-        c.add("fuser", AnatomyFuser(dtype=dtype, tps_impl=getattr(conf, "tps_impl", "auto")))
+        c.add("fuser", AnatomyFuser(
+            dtype=dtype,
+            tps_impl=getattr(conf, "tps_impl", "auto"),
+            eval_blend_bf16=getattr(conf, "eval_warp", "f32") == "bf16",
+        ))
         c.add("enc_modality", ModalityEncoder(conf.num_z, dtype=dtype))
         c.add("segmentor", Segmentor(conf.num_masks, dtype=dtype, remat=getattr(conf, "remat_convs", False)))
         c.add("decoder", Decoder(conf.decoder_type, conf.input_hw, dtype=dtype))
@@ -123,9 +127,9 @@ class MMSDNet:
         state = self.components.merge_state(state, "segmentor", new_st)
         return m, state
 
-    def fuse(self, params, state, sa, sb, train=False):
+    def fuse(self, params, state, sa, sb, train=False, fast=False):
         (s_def, s_fused), _, _ = self.components.apply(
-            "fuser", params, state, sa, sb, train=train
+            "fuser", params, state, sa, sb, train=train, fast=fast
         )
         return s_def, s_fused
 
@@ -339,7 +343,9 @@ class MMSDNet:
         elif fusion_type == "maxnostn":
             s = jnp.maximum(s1, s2)
         else:
-            s_def, s_fused = self.fuse(params, state, s1, s2, False)
+            # fast=True: eval_warp='bf16' routes this warp through the
+            # single-pass Pallas blend (inference only — see nn/fuser.py)
+            s_def, s_fused = self.fuse(params, state, s1, s2, False, fast=True)
             s = s_def if fusion_type == "def" else s_fused
         m, _ = self.segment(params, state, s, False, False)
         return m

@@ -95,7 +95,7 @@ class DualAnatomyEncoder(nn.Module):
             s = round_ste(s)
         return s
 
-    def __call__(self, x1, x2, train: bool = False):
+    def __call__(self, x1, x2, train: bool = False, pair_groups: int = 1):
         """Encode both modalities with ONE pass through the shared path.
 
         The reference applies the shared bottleneck/upsample layers twice
@@ -103,20 +103,27 @@ class DualAnatomyEncoder(nn.Module):
         down-path outputs are concatenated along batch and the shared path
         runs once on (2B, ...) — half the kernels — with per-modality
         BatchNorm statistics preserved via grouped BN (blocks.BatchNorm).
+
+        pair_groups=K lets the automated-pairing step encode its K
+        candidate pairs in this same single pass: x1/x2 arrive as
+        K-interleaved stacks (models/base.py::batch_interleave) and every
+        BatchNorm keeps per-(pair, modality) statistics — value-identical
+        to K separate dual-encoder applications (the reference's loop,
+        models/dafnet.py:248-269).
         """
         if x1.shape[0] != x2.shape[0]:
             raise ValueError(
                 "DualAnatomyEncoder requires equal batch sizes per modality: "
                 f"got {x1.shape[0]} vs {x2.shape[0]}"
             )
-        h1, skips1 = self.down1(x1.astype(self.dtype), train)
-        h2, skips2 = self.down2(x2.astype(self.dtype), train)
+        h1, skips1 = self.down1(x1.astype(self.dtype), train, groups=pair_groups)
+        h2, skips2 = self.down2(x2.astype(self.dtype), train, groups=pair_groups)
         # interleaved batch-stack (models/base.py): sharding-local under a
         # 'data' mesh; grouped BN keeps per-modality statistics
         h = batch_interleave([h1, h2])
         skips = [batch_interleave([a, b]) for a, b in zip(skips1, skips2)]
-        h = self.shared_bottleneck(h, train, groups=2)
-        h = self.shared_up(h, skips, train, groups=2)
+        h = self.shared_bottleneck(h, train, groups=2 * pair_groups)
+        h = self.shared_up(h, skips, train, groups=2 * pair_groups)
         s = nn.softmax(
             self.shared_out(h).astype(jnp.float32), axis=-1
         ).astype(self.dtype)

@@ -65,6 +65,14 @@ class AnatomyFuser(nn.Module):
     cp_dims: tuple = (5, 5)
     dtype: Any = jnp.float32
     tps_impl: str = "auto"
+    # Eval-time fast-warp knob (config.eval_warp == 'bf16'): route the
+    # inference warp through the Pallas kernel with single-pass bf16
+    # blends even when the model computes in f32. The blend matmul rounds
+    # the warped anatomy by ~1e-3 absolute (PERF.md round 3); binarised
+    # test Dice on the synthetic protocol is unchanged to 3 decimals
+    # (tools/bench_inference.py), and it removes the dominant cost of the
+    # 'def'/'max' fusion paths (BENCH_latency.json, VERDICT r4 weak #6).
+    eval_blend_bf16: bool = False
 
     def setup(self):
         self.locnet = LocNet(self.cp_dims[0] * self.cp_dims[1], self.dtype)
@@ -83,7 +91,7 @@ class AnatomyFuser(nn.Module):
             and jnp.dtype(self.dtype) == jnp.bfloat16
         )
 
-    def __call__(self, s1, s2, train: bool = False):
+    def __call__(self, s1, s2, train: bool = False, fast: bool = False):
         theta = self.locnet(s1, s2, train)
         # the TPS solve/flow is precision-sensitive: always f32. The image
         # being warped is not: on the Pallas path with bf16 blends the
@@ -91,8 +99,17 @@ class AnatomyFuser(nn.Module):
         # stays in its native dtype — an f32 upcast here made the kernel's
         # HBM I/O (src + the 128-lane output + the backward cotangent)
         # ~1.6 GB/step of pure f32 waste (round-4 trace).
-        use_pallas = self._use_pallas()
-        blend_bf16 = jnp.dtype(self.dtype) == jnp.bfloat16
+        # `fast` is the call-site opt-in (predict_mask only): the training
+        # step's eval-mode fuses (discriminator fake pools) must not change
+        # numerics under an f32 run, so the knob never applies there.
+        fast_eval = (
+            fast
+            and not train
+            and self.eval_blend_bf16
+            and jax.default_backend() == "tpu"
+        )
+        use_pallas = self._use_pallas() or fast_eval
+        blend_bf16 = jnp.dtype(self.dtype) == jnp.bfloat16 or fast_eval
         src = s1 if (use_pallas and blend_bf16) else s1.astype(jnp.float32)
         s1_def = tps_warp(
             src, theta.astype(jnp.float32),

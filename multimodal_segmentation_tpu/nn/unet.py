@@ -25,13 +25,13 @@ class UNetDown(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, groups: int = 1):
         assert self.downsample > 0, "Unet downsample must be over 0."
         skips = []
         f = self.filters
         for level in range(self.downsample):
             s = ConvBlock(f * (2 ** level), self.norm, self.dtype,
-                          self.remat)(x, train)
+                          self.remat)(x, train, groups)
             skips.append(s)
             x = max_pool2(s)
         return x, skips

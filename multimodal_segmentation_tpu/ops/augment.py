@@ -11,6 +11,8 @@ Interpolation semantics match Keras 2.1.6 apply_transform: nearest-neighbour
 resampling (scipy affine_transform order=0) with 'nearest' edge fill.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -73,22 +75,37 @@ def rotate_batch(batch_imgs, thetas, impl="auto"):
     """Rotate a (B, H, W, C) batch by per-sample angles (radians).
 
     impl='auto' routes through the Pallas nearest-warp kernel on TPU when
-    the shape tiles (the jnp row-gather was ~6 ms/step of the fused train
-    step, round-4 trace: gathers of 40-byte rows are DMA-bound on TPU; the
-    kernel's one-hot blend matmuls run on the idle MXU). Semantics are
-    identical: nearest sampling, edge clamp, jnp.round ties.
+    the shape tiles AND fits the scoped-VMEM budget (otherwise the jnp
+    row-gather). Both paths sample nearest with edge clamp and jnp.round
+    ties; one measured difference on REAL TPU (not visible in interpret
+    mode): the kernel's one-hot blend matmuls run at Mosaic's default
+    bf16 matmul precision, so gathered IMAGE values are bf16-rounded
+    (~1e-2 abs on [-1,1] data) while {0,1} mask channels stay exact.
+    Acceptable for augmentation feeding a bf16 train step; use
+    impl='jnp' where exact f32 pass-through matters.
     """
     B, H, W, C = batch_imgs.shape
+    from multimodal_segmentation_tpu.ops.pallas_kernels import (
+        nearest_warp_block_points,
+        nearest_warp_pallas_sharded,
+    )
+
+    # benchmarking override (tools/bench_variants.py A/Bs the fused step
+    # with each rotation path on the real chip)
+    impl = os.environ.get("MMSEG_ROTATE_IMPL", impl)
+
+    # Route to the kernel only when the shape both tiles AND fits the
+    # scoped-VMEM budget (BENCH_r04: the fused labelled path concatenates
+    # to C=10 and a fixed 1024-point block blew the 16 MB limit; the block
+    # size is now chosen per-shape and this predicate rejects anything the
+    # chooser cannot fit).
     use_kernel = impl == "pallas" or (
         impl == "auto"
         and jax.default_backend() == "tpu"
         and (W * C) % 128 == 0
-        and (H * W) % min(1024, H * W) == 0
+        and nearest_warp_block_points(H, W, C) > 0
     )
     if use_kernel:
-        from multimodal_segmentation_tpu.ops.pallas_kernels import (
-            nearest_warp_pallas_sharded,
-        )
 
         locs = rotation_locations(thetas.astype(jnp.float32), H, W)
         return nearest_warp_pallas_sharded(

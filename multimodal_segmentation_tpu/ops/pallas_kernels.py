@@ -391,13 +391,33 @@ def _nearest_warp_kernel(src_ref, locs_ref, o_ref, *, H, W, C, P):
     )
 
 
+# Scoped-VMEM stack cost of the warp kernels is ~9.1 bytes per P*C*W block
+# element (measured: C*W=1920, P=1024 compiled to a 17.88 MB scoped
+# allocation on v5e — BENCH_r04 OOM against the 16 MB limit). Budget well
+# under the limit and shrink the point-block to fit.
+_VMEM_BYTES_PER_ELEM = 9.1
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def nearest_warp_block_points(H, W, C, cap=1024):
+    """Largest power-of-two point-block <= cap that divides H*W and keeps
+    the kernel's scoped-VMEM footprint under budget. Returns 0 if even a
+    128-point block would not fit (caller should use the jnp path)."""
+    P = min(cap, H * W)
+    while P >= 128:
+        if (H * W) % P == 0 and P * W * C * _VMEM_BYTES_PER_ELEM <= _VMEM_BUDGET:
+            return P
+        P //= 2
+    return 0
+
+
 def nearest_warp_pallas(vol, locs, block_points=1024, interpret=False):
     """Nearest-neighbour warp: vol (B, H, W, C) at pixel locations
     locs (B, H*W, 2) -> (B, H, W, C), edge-clamped. Not differentiable
     (augmentation consumes data, not activations)."""
     B, H, W, C = vol.shape
-    P = min(block_points, H * W)
-    assert (H * W) % P == 0, (H, W, P)
+    P = nearest_warp_block_points(H, W, C, cap=block_points)
+    assert P > 0, (H, W, C, block_points)
     assert (W * C) % 128 == 0, (W, C)
 
     kernel = functools.partial(_nearest_warp_kernel, H=H, W=W, C=C, P=P)

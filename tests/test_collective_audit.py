@@ -39,7 +39,7 @@ def _require_8():
         pytest.skip("needs 8 (virtual) devices")
 
 
-def _production_step_hlo(n_data, n_model):
+def _production_step_hlo(n_data, n_model, automated=False, decoder=None):
     from bench import make_batch
     from multimodal_segmentation_tpu.config import dafnet_chaos
     from multimodal_segmentation_tpu.models import build_model
@@ -52,13 +52,25 @@ def _production_step_hlo(n_data, n_model):
     conf.compute_dtype = "bfloat16"
     # per-device batch 6 = the parity workload per chip
     conf.batch_size = 6 * n_data
+    conf.automatedpairing = automated
+    if decoder is not None:
+        conf.decoder_type = decoder
     mesh = make_mesh(n_data=n_data, n_model=n_model)
     model = build_model(conf)
     steps = make_steps(model, conf, mesh=mesh)
     ts = create_train_state(model, conf, jax.random.PRNGKey(0))
     if n_model > 1:
         ts = tp_shard_train_state(mesh, ts, min_features=256)
-    batch = shard_batch(mesh, make_batch(conf))
+    batch = make_batch(conf)
+    if automated:
+        B, (H, W) = conf.batch_size, conf.input_hw
+        r = np.random.RandomState(1)
+        for k in ("x1_pairs", "x2_pairs"):
+            batch[k] = jnp.asarray(
+                r.rand(B, H, W, conf.n_pairs).astype(np.float32)
+            )
+        batch.pop("x1"), batch.pop("x2")
+    batch = shard_batch(mesh, batch)
     compiled = steps.step_supervised.lower(ts, batch).compile()
     return compiled.as_text()
 
@@ -81,6 +93,36 @@ class TestProductionShardingCollectives:
             "batch-axis resharding detected — a concat/split broke the "
             "interleaved stacking invariant (ops/batching.py):\n"
             + summarize(inv)
+        )
+        assert inv["count"]["reduce-scatter"] == 0
+        for op in inv["ops"]:
+            assert not activation_sized(op["shapes"]), (
+                "activation-sized collective: %r" % (op,)
+            )
+
+    @pytest.mark.parametrize(
+        "automated,decoder",
+        [(True, None), (False, "spade")],
+        ids=["automated-pairing", "spade-decoder"],
+    )
+    def test_data_parallel_8_variants(self, automated, decoder):
+        """The automated-pairing and SPADE-decoder supervised steps must be
+        all-reduce-only under pure DP, same as the expert FiLM step
+        (VERDICT r4 item 7: the batched automated rewrite is exactly the
+        kind of change that can reintroduce batch-axis resharding)."""
+        _require_8()
+        inv = collective_inventory(
+            _production_step_hlo(8, 1, automated=automated, decoder=decoder)
+        )
+        tag = "automated" if automated else "spade"
+        print("\nDP(8) %s collectives:\n%s" % (tag, summarize(inv)))
+        assert inv["count"]["all-reduce"] > 0, "no gradient all-reduces found"
+        assert inv["bytes"]["all-gather"] < 2e6, (
+            "pure DP must not all-gather:\n" + summarize(inv)
+        )
+        assert inv["count"]["all-to-all"] == 0
+        assert inv["count"]["collective-permute"] == 0, (
+            "batch-axis resharding detected:\n" + summarize(inv)
         )
         assert inv["count"]["reduce-scatter"] == 0
         for op in inv["ops"]:

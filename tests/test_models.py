@@ -154,6 +154,73 @@ class TestDAFNet:
         )
         assert np.isfinite(float(total))
 
+    def test_automated_batched_equals_per_invocation(self):
+        """The round-5 batched automated path must be value-identical to
+        per-invocation component application (the reference loops over the
+        K candidate pairs, models/dafnet.py:248-334): grouped BN with
+        pair_groups=K reproduces per-pair statistics exactly, and the
+        single 2K-wide fuse call must match per-pair fuses."""
+        from multimodal_segmentation_tpu.models.base import (
+            batch_deinterleave,
+            batch_interleave,
+        )
+
+        conf = tiny_test_config("dafnet")
+        conf.automatedpairing = True
+        model = build_model(conf)
+        params, state = model.init(jax.random.PRNGKey(0))
+        B, (H, W) = conf.batch_size, conf.input_hw
+        K = conf.n_pairs
+        r = np.random.RandomState(11)
+        x1s = [jnp.asarray(r.rand(B, H, W, 1).astype(np.float32)) for _ in range(K)]
+        x2s = [jnp.asarray(r.rand(B, H, W, 1).astype(np.float32)) for _ in range(K)]
+
+        # encoder: one pair_groups=K call vs K separate dual-encoder calls
+        sa_cat, sb_cat, _ = model.encode_anatomies(
+            params, state, batch_interleave(x1s), batch_interleave(x2s),
+            True, True, pair_groups=K,
+        )
+        sa_parts = batch_deinterleave(sa_cat, K)
+        sb_parts = batch_deinterleave(sb_cat, K)
+        for j in range(K):
+            sa_j, sb_j, _ = model.encode_anatomies(
+                params, state, x1s[j], x2s[j], True, True
+            )
+            np.testing.assert_allclose(
+                np.asarray(sa_parts[j]), np.asarray(sa_j), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(sb_parts[j]), np.asarray(sb_j), atol=1e-5
+            )
+
+        # fuse: one 2K-wide call vs per-pair fuses
+        s1, s2 = sa_parts[0], sb_parts[0]
+        s_def_all, _ = model.fuse(
+            params, state,
+            batch_interleave(list(sa_parts) + list(sb_parts)),
+            batch_interleave([s2] * K + [s1] * K),
+            True,
+        )
+        defs = batch_deinterleave(s_def_all, 2 * K)
+        for j in range(K):
+            sd_j, _ = model.fuse(params, state, sa_parts[j], s2, True)
+            np.testing.assert_allclose(
+                np.asarray(defs[j]), np.asarray(sd_j), atol=1e-4
+            )
+
+        # segmentor: one grouped call vs per-invocation calls
+        stack = [s1, s2] + list(defs[K:]) + list(defs[:K])
+        m_all, _ = model.segment(
+            params, state, batch_interleave(stack), True, True,
+            groups=2 + 2 * K,
+        )
+        m_parts = batch_deinterleave(m_all, 2 + 2 * K)
+        for j, s in enumerate(stack):
+            m_j, _ = model.segment(params, state, s, True, True)
+            np.testing.assert_allclose(
+                np.asarray(m_parts[j]), np.asarray(m_j), atol=1e-5
+            )
+
 
 @pytest.mark.slow
 class TestMMSDNet:
