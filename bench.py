@@ -57,14 +57,16 @@ def make_batch(conf, seed=0):
     return {k: jnp.asarray(v, jnp.float32) for k, v in b.items()}
 
 
-def measure_step_ms(steps, ts, batch, n1=2, n2=12):
+def measure_step_ms(steps, ts, batch, n1=2, n2=12, automated=False):
     """Scan-differenced on-device step time (ms)."""
 
     def make(n):
         @jax.jit
         def many(ts, batch):
             def body(ts, _):
-                ts, m = steps._step(ts, batch, supervised=True, automated=False)
+                ts, m = steps._step(
+                    ts, batch, supervised=True, automated=automated
+                )
                 return ts, m["loss"]
 
             ts, losses = jax.lax.scan(body, ts, None, length=n)

@@ -41,14 +41,30 @@ def run(spec):
         conf.remat_convs = True
     if "jnpwarp" in flags:
         conf.tps_impl = "jnp"
+    if "jnprot" in flags:
+        # A/B the on-device rotation path (ops/augment.py env override)
+        os.environ["MMSEG_ROTATE_IMPL"] = "jnp"
+    else:
+        os.environ.pop("MMSEG_ROTATE_IMPL", None)
+    automated = "automated" in flags
+    if automated:
+        conf.automatedpairing = True
     model = build_model(conf)
     steps = make_steps(model, conf)
     ts = create_train_state(model, conf, jax.random.PRNGKey(0))
     batch_d = make_batch(conf)
+    if automated:
+        r = np.random.RandomState(1)
+        H, W = conf.input_hw
+        for k in ("x1_pairs", "x2_pairs"):
+            batch_d[k] = jax.numpy.asarray(
+                r.rand(conf.batch_size, H, W, conf.n_pairs).astype(np.float32)
+            )
+        del batch_d["x1"], batch_d["x2"]
 
     # FLOPs of one step from cost analysis (for MFU)
     fn = jax.jit(
-        functools.partial(steps._step, supervised=True, automated=False),
+        functools.partial(steps._step, supervised=True, automated=automated),
         donate_argnums=(0,),
     )
     ca = fn.lower(ts, batch_d).compile().cost_analysis()
@@ -57,7 +73,7 @@ def run(spec):
     flops = ca.get("flops", 0.0)
     gbytes = ca.get("bytes accessed", 0.0) / 1e9
 
-    ms = measure_step_ms(steps, ts, batch_d)
+    ms = measure_step_ms(steps, ts, batch_d, automated=automated)
     mfu = flops / (ms / 1e3) / V5E_BF16_PEAK
     print(
         "%-22s %8.1f ms/step %7.1f slices/s/chip  %5.2f TFLOP %7.1f GB  MFU %5.1f%%"

@@ -22,8 +22,11 @@ Covered entry points and why these shapes:
   * fused supervised DAFNet step at the production bench config.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
