@@ -508,18 +508,21 @@ class DAFNet:
         (model_executors/dafnet_executor.py:524-543): per modality the simple
         and the cross-deformed segmentation, pooled by a streaming per-slot
         select (models/base.py::subsample_pool — the TPU-native form of the
-        reference's concat + np.random.choice row draw)."""
+        reference's concat + np.random.choice row draw).
+
+        The slot-select runs on the ANATOMIES, before the segmentor: the
+        eval-mode segmentor is a deterministic per-sample function, so
+        select-then-segment equals segment-then-select exactly — and the
+        pool segmentation runs at B=2N instead of B=4N (round-5 byte cut).
+        """
         nm = self.conf.num_masks
-        # one eval-mode segmentor call on all four anatomies (running BN
-        # stats: concatenation is exact)
-        m_all, _ = self.segment(
-            params, state,
-            batch_interleave([s1, s2, s2_def, s1_def]), False, False,
+        sel1 = subsample_pool(r1, [s1, s2_def])   # m1 pool: from s1 | s2_def
+        sel2 = subsample_pool(r2, [s2, s1_def])   # m2 pool: from s2 | s1_def
+        m_sel, _ = self.segment(
+            params, state, batch_interleave([sel1, sel2]), False, False,
         )
-        m1_hat, m2_hat, m1_from_s2, m2_from_s1 = batch_deinterleave(m_all, 4)
-        fake1 = subsample_pool(r1, [m1_hat[..., :nm], m1_from_s2[..., :nm]])
-        fake2 = subsample_pool(r2, [m2_hat[..., :nm], m2_from_s1[..., :nm]])
-        return fake1, fake2
+        fake1, fake2 = batch_deinterleave(m_sel, 2)
+        return fake1[..., :nm], fake2[..., :nm]
 
     def make_fake_masks(self, params, state, x1, x2, rng):
         """Fake-mask pools for the mask discriminator (standalone wrapper;
@@ -567,8 +570,11 @@ class DAFNet:
         )
 
         # image pools: three reconstruction variants per modality
-        # (dafnet_executor.py:555-570), subsampled to batch size; the VAE
-        # and all six decodes run as one batched call each
+        # (dafnet_executor.py:555-570), subsampled to batch size. The
+        # slot-select runs on the (anatomy, z) INPUTS: each variant shares
+        # its modality's z and the eval-mode decoder is deterministic
+        # per-sample, so select-then-decode equals decode-then-select
+        # exactly — one B=2N decode instead of B=6N (round-5 byte cut).
         z, _, _, _ = self.encode_modality(
             params, state,
             batch_interleave([s1, s2]),
@@ -576,15 +582,15 @@ class DAFNet:
             r3, False,
         )
         z1, z2 = batch_deinterleave(z, 2)
-        y_all = self.decode(
+        sel_s1 = subsample_pool(r5, [s1, s2_def, s1_def])
+        sel_s2 = subsample_pool(r6, [s2, s1_def, s2_def])
+        y_sel = self.decode(
             params, state,
-            batch_interleave([s1, s2_def, s1_def, s2, s1_def, s2_def]),
-            batch_interleave([z1, z1, z1, z2, z2, z2]),
+            batch_interleave([sel_s1, sel_s2]),
+            batch_interleave([z1, z2]),
             False,
         )
-        parts = batch_deinterleave(y_all, 6)
-        fake_y1 = subsample_pool(r5, parts[:3])
-        fake_y2 = subsample_pool(r6, parts[3:])
+        fake_y1, fake_y2 = batch_deinterleave(y_sel, 2)
         return jax.lax.stop_gradient((fake_m1, fake_m2, fake_y1, fake_y2))
 
     def d_mask_pair_loss(self, d_params, other_params, state, real_m, fake_m):
