@@ -77,10 +77,15 @@ class ExperimentConfig:
     # Inference ('def'/'max' fusion) warp precision: 'bf16' routes the
     # eval-time TPS warp through the Pallas kernel with single-pass bf16
     # blend matmuls (~1e-3 abs on the warped anatomy, binarised test Dice
-    # unchanged to 3 decimals — tools/bench_inference.py); 'f32' keeps the
+    # unchanged to 3 decimals — tools/eval_warp_parity.py); 'f32' keeps the
     # exact f32 path. bf16 is the production default: it removes the
     # dominant cost of the fusion inference paths (BENCH_latency.json).
     eval_warp: str = "bf16"
+    # Inference activation dtype for the ModelTester / latency path. Empty
+    # = same as compute_dtype. 'bfloat16' rebuilds the predict model with
+    # bf16 activations (params stay f32) — binarised test Dice parity
+    # measured in tools/eval_warp_parity.py, latency in BENCH_latency.json.
+    eval_dtype: str = ""
     # Rematerialise UNet/segmentor conv blocks in the backward (save only
     # block inputs, recompute norm/relu intermediates). The step is
     # HBM-bound with the MXU nearly idle, so re-FLOPs are ~free.

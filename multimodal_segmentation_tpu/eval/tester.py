@@ -25,8 +25,21 @@ log = logging.getLogger("model_tester")
 
 class ModelTester:
     def __init__(self, model, conf, params, state):
-        self.model = model
         self.conf = conf
+        # eval_dtype: rebuild the predict model with a different activation
+        # dtype (the f32 params apply unchanged — flax modules cast per
+        # layer). Dice parity for bf16 eval is measured in
+        # tools/eval_warp_parity.py.
+        eval_dtype = getattr(conf, "eval_dtype", "")
+        if eval_dtype and eval_dtype != getattr(conf, "compute_dtype", "float32"):
+            import dataclasses
+
+            from multimodal_segmentation_tpu.models import build_model
+
+            model = build_model(
+                dataclasses.replace(conf, compute_dtype=eval_dtype)
+            )
+        self.model = model
         self.params = params
         self.state = state
         self._predict = jax.jit(model.predict_mask, static_argnums=(2, 3))

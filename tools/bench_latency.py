@@ -84,12 +84,21 @@ def main():
     ap.add_argument("--update", action="store_true",
                     help="overwrite BENCH_latency.json with the new numbers")
     ap.add_argument("--gate-pct", type=float, default=25.0)
+    ap.add_argument("--eval-dtype", default="bfloat16",
+                    help="activation dtype for the predict model; params "
+                         "stay f32. Default bfloat16 = the production "
+                         "configuration (training runs bf16, so the CLI's "
+                         "tester already predicts in bf16; Dice parity in "
+                         "tools/eval_warp_parity.py). Pass '' for the "
+                         "exact-f32 path.")
     args = ap.parse_args()
 
     from multimodal_segmentation_tpu.config import dafnet_chaos
     from multimodal_segmentation_tpu.models import build_model
 
     conf = dafnet_chaos()
+    if args.eval_dtype:
+        conf.compute_dtype = args.eval_dtype
     model = build_model(conf)
     params, state = model.init(jax.random.PRNGKey(0))
     r = np.random.RandomState(0)

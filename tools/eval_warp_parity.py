@@ -59,9 +59,14 @@ def main():
     test_data.crop((192, 192))
 
     results = {}
-    for warp in ("bf16", "f32"):
+    # 'bf16-model': the full-bf16 eval model (eval_dtype knob) — activations
+    # bf16 end-to-end, params f32; the strictest parity case.
+    for warp in ("bf16", "f32", "bf16-model"):
         conf = dafnet_chaos()
-        conf.eval_warp = warp
+        if warp == "bf16-model":
+            conf.compute_dtype = "bfloat16"
+        else:
+            conf.eval_warp = warp
         model = build_model(conf)
         params, state = model.init(jax.random.PRNGKey(0))
         mgr = CheckpointManager(args.run_folder)
@@ -78,13 +83,15 @@ def main():
                      float(np.mean(list(dice.values())))))
 
     ok = True
-    for ftype in ("def", "max"):
-        for v in results[("bf16", ftype)]:
-            a = round(results[("bf16", ftype)][v], 3)
-            b = round(results[("f32", ftype)][v], 3)
-            if a != b:
-                ok = False
-                print("MISMATCH %s vol %s: bf16 %.3f vs f32 %.3f" % (ftype, v, a, b))
+    for variant in ("bf16", "bf16-model"):
+        for ftype in ("def", "max"):
+            for v in results[(variant, ftype)]:
+                a = round(results[(variant, ftype)][v], 3)
+                b = round(results[("f32", ftype)][v], 3)
+                if a != b:
+                    ok = False
+                    print("MISMATCH %s %s vol %s: %.3f vs f32 %.3f"
+                          % (variant, ftype, v, a, b))
     print("eval_warp parity:", "PASS (Dice identical to 3 decimals)" if ok else "FAIL")
     return 0 if ok else 1
 
