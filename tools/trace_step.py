@@ -23,17 +23,27 @@ from multimodal_segmentation_tpu.train.steps import make_steps
 def main():
     dtype = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/mmseg_trace_%s" % dtype
+    automated = "automated" in sys.argv[1:]
     conf = dafnet_chaos()
     conf.compute_dtype = dtype
+    conf.automatedpairing = automated
     model = build_model(conf)
     steps = make_steps(model, conf)
     ts = create_train_state(model, conf, jax.random.PRNGKey(0))
     batch = make_batch(conf)
+    if automated:
+        H, W = conf.input_hw
+        r = np.random.RandomState(1)
+        for k in ("x1_pairs", "x2_pairs"):
+            batch[k] = jax.numpy.asarray(
+                r.rand(conf.batch_size, H, W, conf.n_pairs).astype(np.float32)
+            )
+        del batch["x1"], batch["x2"]
 
     @jax.jit
     def many(ts, batch):
         def body(ts, _):
-            ts, m = steps._step(ts, batch, supervised=True, automated=False)
+            ts, m = steps._step(ts, batch, supervised=True, automated=automated)
             return ts, m["loss"]
 
         ts, losses = jax.lax.scan(body, ts, None, length=10)
