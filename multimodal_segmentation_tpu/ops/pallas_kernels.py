@@ -110,7 +110,10 @@ def _warp_kernel(src_ref, w_ref, cp_ref, v_ref, o_ref, *, H, W, C, P,
     v_ref:   (1, 1, 8) affine coefficients in SMEM:
              [vyy, vyx, vyb, vxy, vxx, vxb, 0, 0] (flow_y = rbf_y +
              qy*vyy + qx*vyx + vyb, flow_x likewise).
-    o_ref:   (1, P, 128) output block (first C lanes valid).
+    o_ref:   (1, P, C) output block — C lanes, NOT 128-padded: the padded
+             output cost 128/C x write amplification in HBM (round-5 byte
+             audit: the kernels' padded I/O was 25% of the step's true
+             traffic) plus a separate slice pass after the call.
     """
     j = pl.program_id(1)
     q0 = j * P
@@ -159,10 +162,10 @@ def _warp_kernel(src_ref, w_ref, cp_ref, v_ref, o_ref, *, H, W, C, P,
 
     m = r * bx_exp  # (P, C*W)
     # channel reduction: out[p, c] = sum_w m[p, c*W + w]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (W * C, 128), 0) // W
-    chan = jax.lax.broadcasted_iota(jnp.int32, (W * C, 128), 1)
-    s = (lane == chan).astype(jnp.float32)  # (C*W, 128) one-hot channel map
-    o_ref[0] = _blend_dot(m, s, blend_bf16).astype(o_ref.dtype)  # (P, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (W * C, C), 0) // W
+    chan = jax.lax.broadcasted_iota(jnp.int32, (W * C, C), 1)
+    s = (lane == chan).astype(jnp.float32)  # (C*W, C) one-hot channel map
+    o_ref[0] = _blend_dot(m, s, blend_bf16).astype(o_ref.dtype)  # (P, C)
 
 
 def _warp_bwd_kernel(src_ref, locs_ref, locs_t_ref, g_ref, gsrc_ref, gloc_ref,
@@ -186,9 +189,11 @@ def _warp_bwd_kernel(src_ref, locs_ref, locs_t_ref, g_ref, gsrc_ref, gloc_ref,
     src_ref:    (1, H, C*W) channel-major source image.
     locs_ref:   (1, P, 2) pixel-space sample locations (y, x).
     locs_t_ref: (1, 2, P) the same locations, lane-oriented.
-    g_ref:      (1, P, 128) output cotangent (first C lanes valid, rest 0).
+    g_ref:      (1, P, C) output cotangent — C lanes, unpadded (the old
+                128-lane padding materialised a zero-padded cotangent copy
+                in HBM before every backward call).
     gsrc_ref:   (1, H, C*W) source gradient, accumulated over the point grid.
-    gloc_ref:   (1, P, 128) location gradient (lane 0 = dy, lane 1 = dx).
+    gloc_ref:   (1, P, 2) location gradient (lane 0 = dy, lane 1 = dx).
     """
     j = pl.program_id(1)
 
@@ -228,10 +233,10 @@ def _warp_bwd_kernel(src_ref, locs_ref, locs_t_ref, g_ref, gsrc_ref, gloc_ref,
     dbx = hit_x1 - hit_x0                             # d bx / d x
 
     # expand the per-channel cotangent to the channel-major flat layout:
-    # g_exp[p, c*W + w] = g[p, c]; the (128, C*W) map is built directly.
-    chan_t = jax.lax.broadcasted_iota(jnp.int32, (128, W * C), 0)
-    lane_t = jax.lax.broadcasted_iota(jnp.int32, (128, W * C), 1) // W
-    s_t = (chan_t == lane_t).astype(jnp.float32)      # (128, C*W)
+    # g_exp[p, c*W + w] = g[p, c]; the (C, C*W) map is built directly.
+    chan_t = jax.lax.broadcasted_iota(jnp.int32, (C, W * C), 0)
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (C, W * C), 1) // W
+    s_t = (chan_t == lane_t).astype(jnp.float32)      # (C, C*W)
     g_exp = _blend_dot(g_ref[0], s_t, blend_bf16)     # (P, C*W)
 
     src = src_ref[0]                                  # (H, C*W)
@@ -255,7 +260,7 @@ def _warp_bwd_kernel(src_ref, locs_ref, locs_t_ref, g_ref, gsrc_ref, gloc_ref,
     r = _blend_dot(a, src, blend_bf16)                    # (P, C*W)
     gx = jnp.sum(g_exp * r * dbx, axis=1, keepdims=True)  # (P, 1)
 
-    out_lane = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1)
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (P, 2), 1)
     gloc_ref[0] = gy * (out_lane == 0).astype(jnp.float32) + gx * (
         out_lane == 1
     ).astype(jnp.float32)
@@ -275,8 +280,6 @@ def tps_bilinear_warp_bwd_pallas(vol, locs, g, block_points=256,
     # precision — the blend matmuls cast to bf16 anyway); the gradient
     # ACCUMULATOR across point blocks stays f32
     g_dt = g.dtype if blend_bf16 else jnp.float32
-    g_pad = jnp.zeros((B, H * W, 128), g_dt)
-    g_pad = g_pad.at[:, :, :C].set(g.reshape(B, H * W, C).astype(g_dt))
     src_dt = vol.dtype if blend_bf16 else jnp.float32
 
     kernel = functools.partial(_warp_bwd_kernel, H=H, W=W, C=C, P=P,
@@ -285,29 +288,28 @@ def tps_bilinear_warp_bwd_pallas(vol, locs, g, block_points=256,
         kernel,
         out_shape=[
             jax.ShapeDtypeStruct((B, H, C * W), jnp.float32),
-            jax.ShapeDtypeStruct((B, H * W, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, H * W, 2), jnp.float32),
         ],
         grid=(B, (H * W) // P),
         in_specs=[
             pl.BlockSpec((1, H, W * C), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, 2), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, P), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 128), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, C), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, H, C * W), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 128), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 2), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
         ],
         interpret=interpret,
     )(
         vol.astype(src_dt).transpose(0, 1, 3, 2).reshape(B, H, C * W),
         locs.astype(jnp.float32),
         locs.astype(jnp.float32).transpose(0, 2, 1),  # (B, 2, H*W) lane-major
-        g_pad,
+        g.reshape(B, H * W, C).astype(g_dt),
     )
     grad_vol = gsrc.reshape(B, H, C, W).transpose(0, 1, 3, 2).astype(vol.dtype)
-    grad_locs = gloc[:, :, :2]
-    return grad_vol, grad_locs
+    return grad_vol, gloc
 
 
 def tps_bilinear_warp_pallas(vol, wv, cp_grid, block_points=1024,
@@ -333,7 +335,7 @@ def tps_bilinear_warp_pallas(vol, wv, cp_grid, block_points=1024,
                                blend_bf16=blend_bf16)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, H * W, 128), vol.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H * W, C), vol.dtype),
         grid=(B, (H * W) // P),
         in_specs=[
             pl.BlockSpec((1, H, W * C), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -342,7 +344,7 @@ def tps_bilinear_warp_pallas(vol, wv, cp_grid, block_points=1024,
             pl.BlockSpec((1, 1, 8), lambda b, j: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, P, 128), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
+            (1, P, C), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(
@@ -352,7 +354,7 @@ def tps_bilinear_warp_pallas(vol, wv, cp_grid, block_points=1024,
         cp_t,
         v_flat,
     )
-    return out[:, :, :C].reshape(B, H, W, C)
+    return out.reshape(B, H, W, C)
 
 
 # ------------------------------------------------- nearest-neighbour warp
@@ -369,7 +371,7 @@ def _nearest_warp_kernel(src_ref, locs_ref, o_ref, *, H, W, C, P):
 
     src_ref:  (1, H, C*W) channel-major source.
     locs_ref: (1, P, 2) pixel-space (y, x) sample locations.
-    o_ref:    (1, P, 128) output block (first C lanes valid).
+    o_ref:    (1, P, C) output block (C lanes, unpadded).
     """
     y = jnp.clip(jnp.round(locs_ref[0, :, 0:1]), 0, H - 1)  # (P, 1)
     x = jnp.clip(jnp.round(locs_ref[0, :, 1:2]), 0, W - 1)
@@ -383,8 +385,8 @@ def _nearest_warp_kernel(src_ref, locs_ref, o_ref, *, H, W, C, P):
     bx = (wpos == x).astype(jnp.float32)                     # (P, C*W) one-hot
     m = r * bx
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (W * C, 128), 0) // W
-    chan = jax.lax.broadcasted_iota(jnp.int32, (W * C, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (W * C, C), 0) // W
+    chan = jax.lax.broadcasted_iota(jnp.int32, (W * C, C), 1)
     s = (lane == chan).astype(jnp.float32)
     o_ref[0] = jnp.dot(m, s, preferred_element_type=jnp.float32).astype(
         o_ref.dtype
@@ -423,21 +425,21 @@ def nearest_warp_pallas(vol, locs, block_points=1024, interpret=False):
     kernel = functools.partial(_nearest_warp_kernel, H=H, W=W, C=C, P=P)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, H * W, 128), vol.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H * W, C), vol.dtype),
         grid=(B, (H * W) // P),
         in_specs=[
             pl.BlockSpec((1, H, W * C), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, 2), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, P, 128), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
+            (1, P, C), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(
         vol.transpose(0, 1, 3, 2).reshape(B, H, C * W),
         locs.astype(jnp.float32),
     )
-    return out[:, :, :C].reshape(B, H, W, C)
+    return out.reshape(B, H, W, C)
 
 
 @functools.lru_cache(maxsize=None)
