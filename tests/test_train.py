@@ -92,6 +92,40 @@ class TestDAFNetStep:
         assert adam_count(ts2.opt_disc["d_image2"]) == 1
         assert adam_count(ts2.opt_gen) == 1
 
+    def test_production_shape_step_lowers_with_rotation(self):
+        """Compile-check the fused supervised step at the PRODUCTION shape
+        (batch 6, 192^2) with rotation augmentation enabled — the exact
+        configuration whose Pallas augmentation kernel shipped uncompilable
+        in round 4 (BENCH_r04 VMEM OOM at the C=10 concat). On CPU this
+        validates lowering/shape logic; the Mosaic-level check at this
+        shape is `make tpu-smoke` (mandatory before kernel changes land).
+        """
+        from bench import make_batch
+        from multimodal_segmentation_tpu.config import dafnet_chaos
+        from multimodal_segmentation_tpu.ops.pallas_kernels import (
+            nearest_warp_block_points,
+        )
+
+        conf = dafnet_chaos()
+        conf.compute_dtype = "bfloat16"
+        assert conf.rotation_range > 0
+        # every channel count the rotation concats reach in production
+        # must have a VMEM-fitting block (C=10 is the round-4 OOM shape)
+        for C in (2, 4, 6, 8, 10):
+            assert nearest_warp_block_points(192, 192, C) > 0, C
+        # and the fitted block must stay under the measured-cost budget
+        P = nearest_warp_block_points(192, 192, 10)
+        assert P * 192 * 10 * 9.1 <= 12 * 1024 * 1024
+
+        model = build_model(conf)
+        steps = make_steps(model, conf)
+        ts = create_train_state(model, conf, jax.random.PRNGKey(0))
+        batch = make_batch(conf)
+        lowered = jax.jit(
+            lambda t, b: steps._step(t, b, supervised=True, automated=False)
+        ).lower(ts, batch)
+        assert lowered is not None  # tracing + lowering succeeded
+
     def test_unsupervised_step_runs(self):
         conf = tiny_test_config("dafnet")
         model = build_model(conf)

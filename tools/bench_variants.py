@@ -28,12 +28,62 @@ from multimodal_segmentation_tpu.train.steps import make_steps
 V5E_BF16_PEAK = 197e12  # FLOP/s
 
 
+def run_mmsdnet(dtype, batch):
+    """MMSDNet full batch = fused gen+z-regressor step + the mask-D step
+    (model_executors/mmsdnet_executor.py:242-331)."""
+    import time
+
+    from multimodal_segmentation_tpu.config import mmsdnet_chaos
+
+    conf = mmsdnet_chaos()
+    conf.compute_dtype = dtype
+    conf.batch_size = batch
+    model = build_model(conf)
+    steps = make_steps(model, conf)
+    ts = create_train_state(model, conf, jax.random.PRNGKey(0))
+    b = make_batch(conf)
+    r = np.random.RandomState(2)
+    H, W = conf.input_hw
+    b["dm"] = jax.numpy.asarray(
+        (r.rand(batch, H, W, conf.num_masks) > 0.8).astype(np.float32)
+    )
+
+    def make(n):
+        @jax.jit
+        def many(ts, b):
+            def body(ts, _):
+                ts, m = steps._gen_and_zreg(ts, b, supervised=True)
+                ts, _ = steps._d_step(ts, b)
+                return ts, m["loss"]
+
+            ts, losses = jax.lax.scan(body, ts, None, length=n)
+            return losses[-1]
+
+        return many
+
+    res = {}
+    for n in (2, 12):
+        f = make(n)
+        float(np.asarray(f(ts, b)))
+        t0 = time.perf_counter()
+        float(np.asarray(f(ts, b)))
+        res[n] = time.perf_counter() - t0
+    ms = (res[12] - res[2]) / 10 * 1e3
+    print(
+        "%-22s %8.1f ms/step %7.1f slices/s/chip  (gen+zreg+maskD batch)"
+        % ("mmsdnet:" + dtype, ms, batch / (ms / 1e3)),
+        flush=True,
+    )
+
+
 def run(spec):
     parts = spec.split(":")
     dtype = parts[0]
     decoder = parts[1] if len(parts) > 1 else "film"
     batch = int(parts[2]) if len(parts) > 2 else 6
     flags = parts[3:] if len(parts) > 3 else []
+    if decoder == "mmsdnet":
+        return run_mmsdnet(dtype, batch)
     conf = dafnet_spade_chaos() if decoder == "spade" else dafnet_chaos()
     conf.compute_dtype = dtype
     conf.batch_size = batch
