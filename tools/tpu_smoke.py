@@ -96,8 +96,9 @@ def main():
             )(v, th),
         )
 
-    # ---- fused supervised DAFNet step at the production bench config ----
-    def fused_step():
+    # ---- fused supervised DAFNet steps (expert + automated) at the
+    # production bench config ----
+    def fused_step(automated=False):
         from bench import make_batch
         from multimodal_segmentation_tpu.config import dafnet_chaos
         from multimodal_segmentation_tpu.models import build_model
@@ -106,16 +107,29 @@ def main():
 
         conf = dafnet_chaos()
         conf.compute_dtype = "bfloat16"
+        conf.automatedpairing = automated
         model = build_model(conf)
         steps = make_steps(model, conf)
         ts = create_train_state(model, conf, jax.random.PRNGKey(0))
         batch = make_batch(conf)
+        if automated:
+            H, W = conf.input_hw
+            r = np.random.RandomState(1)
+            for k in ("x1_pairs", "x2_pairs"):
+                batch[k] = jnp.asarray(
+                    r.rand(conf.batch_size, H, W, conf.n_pairs).astype(np.float32)
+                )
+            del batch["x1"], batch["x2"]
         ts, metrics = steps.step_supervised(ts, batch)
         loss = float(np.asarray(metrics["loss"]))
         assert np.isfinite(loss), loss
         return metrics["loss"]
 
     ok &= check("fused supervised DAFNet step (bf16, rotation on)", fused_step)
+    ok &= check(
+        "fused automated-pairing step (bf16, C=14 rotation concat)",
+        lambda: fused_step(automated=True),
+    )
 
     print("tpu_smoke:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
