@@ -70,7 +70,7 @@ class AnatomyFuser(nn.Module):
     # blends even when the model computes in f32. The blend matmul rounds
     # the warped anatomy by ~1e-3 absolute (PERF.md round 3); binarised
     # test Dice on the synthetic protocol is unchanged to 3 decimals
-    # (tools/bench_inference.py), and it removes the dominant cost of the
+    # (tools/eval_warp_parity.py), and it removes the dominant cost of the
     # 'def'/'max' fusion paths (BENCH_latency.json, VERDICT r4 weak #6).
     eval_blend_bf16: bool = False
 

@@ -277,6 +277,9 @@ class TestExecutorEndToEnd:
         conf = self._conf("mmsdnet")
         conf.epochs = 1
         conf.folder = str(tmp_path / "mmsdnet_tiny")
+        # exercise the round-5 eval knob: the tester rebuilds its predict
+        # model with bf16 activations (params apply unchanged)
+        conf.eval_dtype = "bfloat16"
         model = build_model(conf)
         from multimodal_segmentation_tpu.train.executor import make_executor
 
