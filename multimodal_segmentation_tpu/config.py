@@ -86,6 +86,12 @@ class ExperimentConfig:
     # bf16 activations (params stay f32) — binarised test Dice parity
     # measured in tools/eval_warp_parity.py, latency in BENCH_latency.json.
     eval_dtype: str = ""
+    # Run each Adam update over a single flattened moment vector (one big
+    # fused elementwise pass) instead of per-parameter-leaf chains. Same
+    # math (train/state.py::flat_adam, exactness locked in
+    # tests/test_train_state.py). Keep False under tensor parallelism so
+    # the per-leaf moments can mirror parameter shardings.
+    fused_adam: bool = False
     # Rematerialise UNet/segmentor conv blocks in the backward (save only
     # block inputs, recompute norm/relu intermediates). The step is
     # HBM-bound with the MXU nearly idle, so re-FLOPs are ~free.

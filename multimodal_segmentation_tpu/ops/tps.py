@@ -98,6 +98,65 @@ def solve_tps(train_points, train_values, order=2, regularization=0.0):
     return wv[:n], wv[n:]
 
 
+@functools.lru_cache(maxsize=None)
+def _const_tps_inverse(cp_dims, order=2):
+    """Double-precision inverse of the CONSTANT forward TPS system matrix.
+
+    In the forward (non-inverse) direction the interpolation centres are
+    the regular control grid itself — the [[A, B], [B^T, 0]] matrix does
+    not depend on the predicted offsets, only the right-hand side does.
+    The reference (and the generic solve_tps path) still LU-factorises it
+    per sample per step (layers/interpolate_spline.py:140-147 via
+    tf.matrix_solve); on TPU that lowers to serial LU + triangular-solve
+    custom calls — pure fixed cost, and its VJP drags a triangular-solve
+    backward chain into every training step. Here the factorisation is
+    hoisted to trace time: a float64 numpy inverse (more accurate than an
+    on-device f32 LU) turns the batched solve into one small MXU matmul
+    whose VJP is just the transposed matmul.
+    """
+    mesh = np.mgrid[tuple(slice(0, d) for d in cp_dims)]
+    grid = mesh.reshape(len(cp_dims), -1).T.astype(np.float64)
+    grid = grid / (np.asarray(cp_dims, dtype=np.float64) - 1.0)
+    n, d = grid.shape
+    sq = (
+        (grid**2).sum(-1)[:, None]
+        - 2.0 * grid @ grid.T
+        + (grid**2).sum(-1)[None, :]
+    )
+    # numpy mirror of _phi on squared distances
+    r2c = np.maximum(sq, _EPSILON)
+    if order == 1:
+        a = np.sqrt(r2c)
+    elif order == 2:
+        a = 0.5 * sq * np.log(r2c)
+    elif order == 4:
+        a = 0.5 * np.square(sq) * np.log(r2c)
+    elif order % 2 == 0:
+        a = 0.5 * np.power(r2c, 0.5 * order) * np.log(r2c)
+    else:
+        a = np.power(r2c, 0.5 * order)
+    b = np.concatenate([grid, np.ones((n, 1))], axis=1)
+    lhs = np.block([[a, b], [b.T, np.zeros((d + 1, d + 1))]])
+    # cache the NUMPY inverse (device/trace-agnostic): a cached jnp array
+    # would leak the tracer of whichever jit first materialised it
+    return np.linalg.inv(lhs).astype(np.float32)
+
+
+def _forward_coefficients(cp_offsets, cp_dims, order=2):
+    """Batched [w; v] coefficients for the forward mapping (control grid ->
+    offset grid) via the precomputed constant inverse: (B, n+d+1, d)."""
+    cp_grid = control_grid(list(cp_dims))
+    warped = cp_grid[None] + cp_offsets          # (B, n, d)
+    B, n, d = warped.shape
+    rhs = jnp.concatenate(
+        [warped, jnp.zeros((B, d + 1, d), warped.dtype)], axis=1
+    )
+    inv = jnp.asarray(_const_tps_inverse(tuple(cp_dims), order))
+    return jnp.einsum(
+        "ij,bjk->bik", inv, rhs, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def _interpolate(train_points, train_values, query_points, order=2):
     """Evaluate the spline fitted to (train_points -> train_values) at query_points.
 
@@ -131,15 +190,25 @@ def tps_sample_locations(cp_offsets, vol_shape, cp_dims=(5, 5), inverse=False, o
     cp_grid = control_grid(list(cp_dims))
     q_grid = control_grid(list(vol_shape))
 
-    def one(offsets):
-        warped_cp = cp_grid + offsets
-        if inverse:
-            locs = _interpolate(warped_cp, cp_grid, q_grid, order)
-        else:
-            locs = _interpolate(cp_grid, warped_cp, q_grid, order)
-        return locs
+    if not inverse:
+        # constant-system fast path: coefficients via the precomputed
+        # inverse, then one batched (H*W, n+3) x (n+3, 2) flow matmul
+        wv = _forward_coefficients(cp_offsets, tuple(cp_dims), order)
+        phi_q = _phi(_sq_dist(q_grid, cp_grid), order)       # (m, n)
+        q_pad = jnp.concatenate(
+            [q_grid, jnp.ones_like(q_grid[:, :1])], axis=1
+        )                                                     # (m, 3)
+        basis = jnp.concatenate([phi_q, q_pad], axis=1)       # (m, n+3)
+        locs = jnp.einsum(
+            "mj,bjk->bmk", basis, wv, precision=jax.lax.Precision.HIGHEST
+        )
+    else:
 
-    locs = jax.vmap(one)(cp_offsets)  # (B, H*W, 2) normalised (y, x)
+        def one(offsets):
+            warped_cp = cp_grid + offsets
+            return _interpolate(warped_cp, cp_grid, q_grid, order)
+
+        locs = jax.vmap(one)(cp_offsets)  # (B, H*W, 2) normalised (y, x)
     scale = jnp.asarray(
         [vol_shape[0] - 1, vol_shape[1] - 1], dtype=locs.dtype
     )
@@ -149,14 +218,14 @@ def tps_sample_locations(cp_offsets, vol_shape, cp_dims=(5, 5), inverse=False, o
 def tps_coefficients(cp_offsets, cp_dims=(5, 5), inverse=False, order=2):
     """Solve the batched TPS systems, returning stacked coefficients
     (B, n_cp + 3, 2) = [w; v] for downstream flow evaluation."""
+    if not inverse:
+        return _forward_coefficients(cp_offsets, tuple(cp_dims), order)
+
     cp_grid = control_grid(list(cp_dims))
 
     def one(offsets):
         warped_cp = cp_grid + offsets
-        if inverse:
-            w, v = solve_tps(warped_cp, cp_grid, order)
-        else:
-            w, v = solve_tps(cp_grid, warped_cp, order)
+        w, v = solve_tps(warped_cp, cp_grid, order)
         return jnp.concatenate([w, v], axis=0)
 
     return jax.vmap(one)(cp_offsets)

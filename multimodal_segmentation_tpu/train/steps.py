@@ -35,11 +35,12 @@ class _StepsBase:
         self.model = model
         self.conf = conf
         self.mesh = mesh
-        self.opt_gen = adam(conf.lr)
+        fused = getattr(conf, "fused_adam", False)
+        self.opt_gen = adam(conf.lr, fused)
         self.opt_disc = {}
         for name in model.DISC_COMPONENTS:
             lr = (conf.d_mask_params if name == "d_mask" else conf.d_image_params).lr
-            self.opt_disc[name] = adam(lr)
+            self.opt_disc[name] = adam(lr, fused)
 
     def _jit(self, fn):
         if self.mesh is not None:
@@ -225,7 +226,7 @@ class MMSDNetSteps(_StepsBase):
 
     def __init__(self, model, conf, mesh=None):
         super().__init__(model, conf, mesh)
-        self.opt_zreg = adam(conf.lr)
+        self.opt_zreg = adam(conf.lr, getattr(conf, "fused_adam", False))
         self.step_supervised = self._jit(
             functools.partial(self._gen_and_zreg, supervised=True)
         )

@@ -293,3 +293,67 @@ class TestExecutorEndToEnd:
         with open(res) as f:
             lines = f.read().strip().splitlines()
         assert len(lines) == 4  # header + 3 test volumes
+
+
+class TestFlatAdam:
+    """flat_adam (train/state.py) must be Adam to float tolerance: one
+    flattened-vector update pass replacing optax's per-leaf chains."""
+
+    def test_matches_optax_adam_lockstep(self):
+        from multimodal_segmentation_tpu.train.state import adam
+
+        rng = np.random.RandomState(0)
+        params = {
+            "a": {"kernel": jnp.asarray(rng.randn(7, 5), jnp.float32),
+                  "bias": jnp.asarray(rng.randn(5), jnp.float32)},
+            "b": jnp.asarray(rng.randn(3, 2, 4), jnp.float32),
+        }
+        ref_opt = adam(1e-3, fused=False)
+        fus_opt = adam(1e-3, fused=True)
+        ref_state, fus_state = ref_opt.init(params), fus_opt.init(params)
+        p_ref = p_fus = params
+        import optax
+
+        for step in range(5):
+            grads = jax.tree_util.tree_map(
+                lambda p: jnp.asarray(
+                    rng.randn(*p.shape), jnp.float32) * (step + 1),
+                params,
+            )
+            u_ref, ref_state = ref_opt.update(grads, ref_state, p_ref)
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            u_fus, fus_state = fus_opt.update(grads, fus_state, p_fus)
+            p_fus = optax.apply_updates(p_fus, u_fus)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_fus)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )
+
+    def test_full_step_equivalence_fused_vs_per_leaf(self):
+        """One DAFNet step with fused_adam on/off applies the same update.
+
+        Single step only: both paths see identical gradients, so the
+        param DELTAS must agree to float ulps. Multi-step comparison is
+        meaningless here — Adam's |g|/(sqrt(v)+eps) normalisation turns
+        1-ulp update differences into diverging trajectories through the
+        GAN step (verified: 2 steps already drift to ~1e-4)."""
+        results = []
+        for fused in (False, True):
+            conf = tiny_test_config()
+            conf.fused_adam = fused
+            model = build_model(conf)
+            steps = make_steps(model, conf)
+            ts = create_train_state(model, conf, jax.random.PRNGKey(3))
+            batch = _tiny_batch(conf)
+            p0 = jax.tree_util.tree_map(lambda x: np.array(x), ts.params)
+            ts, _ = steps.step_supervised(ts, batch)
+            results.append(
+                (p0, jax.tree_util.tree_map(np.asarray, ts.params))
+            )
+        (p0a, p1a), (p0b, p1b) = results
+        for x0, x1, y0, y1 in zip(
+            *(jax.tree_util.tree_leaves(t) for t in (p0a, p1a, p0b, p1b))
+        ):
+            np.testing.assert_allclose(x1 - x0, y1 - y0, atol=5e-8, rtol=0)
